@@ -1,0 +1,273 @@
+"""Shared Flax building blocks for the U-Net zoo (NHWC, bf16-friendly).
+
+Design notes (TPU-first, not a torch translation):
+  - NHWC layout everywhere: TPU convolutions are natively NHWC; the channel
+    dim rides the 128-wide lane dimension of the VPU/MXU.
+  - ``dtype`` is the compute dtype (bf16 for the AMP analogue of
+    train.py:170's GradScaler — bf16 needs no loss scaling); ``param_dtype``
+    stays float32 (master weights). BatchNorm statistics are always f32.
+  - Initialization mirrors the reference's ``weights_init`` 'normal' scheme
+    (unet_training.py:94-113): conv kernels ~ N(0, 0.02), BN scale ~
+    N(1, 0.02), biases 0 — which train.py applies over *every* model,
+    including the ResNet backbone (train.py:54).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from unet_embroidery_seg_tpu.ops.resize import center_pad_to, max_pool, upsample2x
+
+# Reference 'normal' init: N(0, 0.02) for convs (unet_training.py:98-99).
+conv_init = nn.initializers.normal(stddev=0.02)
+
+
+def bn_scale_init(key, shape, dtype=jnp.float32):
+    """BN scale ~ N(1, 0.02) (unet_training.py:108-110)."""
+    return 1.0 + jax.random.normal(key, shape, dtype) * 0.02
+
+
+def conv3x3(features: int, *, stride: int = 1, use_bias: bool = False, dtype=None, name=None):
+    return nn.Conv(
+        features,
+        (3, 3),
+        strides=(stride, stride),
+        padding=((1, 1), (1, 1)),
+        use_bias=use_bias,
+        kernel_init=conv_init,
+        dtype=dtype,
+        name=name,
+    )
+
+
+def conv1x1(features: int, *, stride: int = 1, use_bias: bool = False, dtype=None, name=None):
+    return nn.Conv(
+        features,
+        (1, 1),
+        strides=(stride, stride),
+        use_bias=use_bias,
+        kernel_init=conv_init,
+        dtype=dtype,
+        name=name,
+    )
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm matching torch defaults (momentum 0.1, eps 1e-5).
+
+    flax momentum is the running-average retention factor, so torch's 0.1
+    becomes 0.9 here. Statistics are computed in f32 even under bf16 compute.
+    Under a sharded batch, GSPMD turns the batch reduction into a cross-
+    replica collective — i.e. synchronized BN over the data axis for free.
+    """
+
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            scale_init=bn_scale_init,
+            name="bn",
+        )(x)
+
+
+class DoubleConv(nn.Module):
+    """2 x [conv3x3(bias-free) -> BN -> ReLU] (unet_plain.py:5-18)."""
+
+    features: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = conv3x3(self.features, dtype=self.dtype, name="conv1")(x)
+        x = BatchNorm(dtype=self.dtype, name="norm1")(x, train)
+        x = nn.relu(x)
+        x = conv3x3(self.features, dtype=self.dtype, name="conv2")(x)
+        x = BatchNorm(dtype=self.dtype, name="norm2")(x, train)
+        x = nn.relu(x)
+        return x
+
+
+class Down(nn.Module):
+    """MaxPool(2,2) -> DoubleConv (unet_plain.py:21-30)."""
+
+    features: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = max_pool(x, 2, 2)
+        return DoubleConv(self.features, dtype=self.dtype, name="conv")(x, train)
+
+
+class UpPlain(nn.Module):
+    """Bilinear x2 (align_corners=False) + center-pad + skip-concat + DoubleConv.
+
+    unet_plain.py:33-47: the concat order is [skip, x].
+    """
+
+    features: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, skip, train: bool):
+        x = upsample2x(x, align_corners=False)
+        if x.shape[-3:-1] != skip.shape[-3:-1]:
+            x = center_pad_to(x, skip.shape[-3:-1])
+        x = jnp.concatenate([skip, x], axis=-1)
+        return DoubleConv(self.features, dtype=self.dtype, name="conv")(x, train)
+
+
+class UnetUpNoBN(nn.Module):
+    """ResNet-U-Net decoder stage (unet_resnet.py:7-42, also multitask's copy).
+
+    Bilinear x2 with align_corners=True (torch ``UpsamplingBilinear2d``),
+    concat [skip, up(x)], then two biased conv3x3+ReLU — deliberately no BN,
+    matching the reference decoder.
+    """
+
+    features: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, skip, x, train: bool):
+        del train  # no normalization in this decoder stage
+        x = upsample2x(x, align_corners=True)
+        x = jnp.concatenate([skip, x], axis=-1)
+        x = conv3x3(self.features, use_bias=True, dtype=self.dtype, name="conv1")(x)
+        x = nn.relu(x)
+        x = conv3x3(self.features, use_bias=True, dtype=self.dtype, name="conv2")(x)
+        x = nn.relu(x)
+        return x
+
+
+class FinalUpConv(nn.Module):
+    """Extra x2 upsample head restoring full resolution (unet_resnet.py:70-76)."""
+
+    features: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        x = upsample2x(x, align_corners=True)
+        x = conv3x3(self.features, use_bias=True, dtype=self.dtype, name="conv1")(x)
+        x = nn.relu(x)
+        x = conv3x3(self.features, use_bias=True, dtype=self.dtype, name="conv2")(x)
+        x = nn.relu(x)
+        return x
+
+
+class AttentionGate(nn.Module):
+    """Additive spatial attention gate (unet_attention.py:7-35).
+
+    alpha = sigmoid(BN(psi( relu(BN(theta(skip)) + BN(phi(gate))) ))),
+    returns skip * alpha.
+    """
+
+    inter_features: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, skip, gate, train: bool):
+        if skip.shape[-3:-1] != gate.shape[-3:-1]:
+            from unet_embroidery_seg_tpu.ops.resize import resize_bilinear
+
+            gate = resize_bilinear(gate, skip.shape[-3:-1], align_corners=False)
+        theta = conv1x1(self.inter_features, dtype=self.dtype, name="theta")(skip)
+        theta = BatchNorm(dtype=self.dtype, name="theta_bn")(theta, train)
+        phi = conv1x1(self.inter_features, dtype=self.dtype, name="phi")(gate)
+        phi = BatchNorm(dtype=self.dtype, name="phi_bn")(phi, train)
+        f = nn.relu(theta + phi)
+        psi = conv1x1(1, use_bias=True, dtype=self.dtype, name="psi")(f)
+        psi = BatchNorm(dtype=self.dtype, name="psi_bn")(psi, train)
+        alpha = nn.sigmoid(psi)
+        return skip * alpha
+
+
+class UpAttn(nn.Module):
+    """Attention-gated decoder stage (unet_attention.py:38-55)."""
+
+    features: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, skip, train: bool):
+        x = upsample2x(x, align_corners=False)
+        inter = max(self.features // 2, 16)
+        skip = AttentionGate(inter, dtype=self.dtype, name="attn")(skip, x, train)
+        if x.shape[-3:-1] != skip.shape[-3:-1]:
+            from unet_embroidery_seg_tpu.ops.resize import resize_bilinear
+
+            x = resize_bilinear(x, skip.shape[-3:-1], align_corners=False)
+        x = jnp.concatenate([skip, x], axis=-1)
+        return DoubleConv(self.features, dtype=self.dtype, name="conv")(x, train)
+
+
+class DenseBlock(nn.Module):
+    """DenseNet-style block: concat-everything growth (unet_dualdense.py:5-33).
+
+    Each layer is BN -> ReLU -> conv3x3(growth_rate, bias-free) on the concat
+    of all previous features.
+    """
+
+    growth_rate: int = 32
+    num_layers: int = 3
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        features = [x]
+        for i in range(self.num_layers):
+            h = jnp.concatenate(features, axis=-1) if len(features) > 1 else x
+            h = BatchNorm(dtype=self.dtype, name=f"norm{i}")(h, train)
+            h = nn.relu(h)
+            h = conv3x3(self.growth_rate, dtype=self.dtype, name=f"conv{i}")(h)
+            features.append(h)
+        return jnp.concatenate(features, axis=-1)
+
+
+class DenseConvBlock(nn.Module):
+    """DenseBlock + 1x1 transition conv -> BN -> ReLU (unet_dualdense.py:36-47)."""
+
+    features: int
+    growth_rate: int = 32
+    num_layers: int = 3
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = DenseBlock(self.growth_rate, self.num_layers, dtype=self.dtype, name="dense")(
+            x, train
+        )
+        x = conv1x1(self.features, dtype=self.dtype, name="trans_conv")(x)
+        x = BatchNorm(dtype=self.dtype, name="trans_bn")(x, train)
+        return nn.relu(x)
+
+
+class UpDense(nn.Module):
+    """Dense decoder stage (unet_dualdense.py:50-61)."""
+
+    features: int
+    growth_rate: int = 32
+    num_layers: int = 3
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, skip, train: bool):
+        x = upsample2x(x, align_corners=False)
+        if x.shape[-3:-1] != skip.shape[-3:-1]:
+            from unet_embroidery_seg_tpu.ops.resize import resize_bilinear
+
+            x = resize_bilinear(x, skip.shape[-3:-1], align_corners=False)
+        x = jnp.concatenate([skip, x], axis=-1)
+        return DenseConvBlock(
+            self.features, self.growth_rate, self.num_layers, dtype=self.dtype, name="conv"
+        )(x, train)

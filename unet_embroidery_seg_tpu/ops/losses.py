@@ -1,0 +1,265 @@
+"""Segmentation losses as pure, jittable JAX functions (NHWC layouts).
+
+Behavioral parity targets (semantics, not code) in the PyTorch reference:
+  - BCE-with-logits (+pos_weight):   /root/reference/model/unet_training.py:205-216
+  - Lovasz-hinge:                    /root/reference/model/unet_training.py:219-280
+  - CE / Focal / Dice (+ignore):     /root/reference/model/unet_training.py:9-91
+  - binary 2-class-logit convention: /root/reference/utils/train_and_eval.py:106-113
+  - multitask seg+cls loss:          /root/reference/model/unet_multitask.py:109-139
+
+Everything here runs on device under jit: the Lovasz sort uses XLA's bitonic
+sort (vmapped per image), and no function ever forces a host sync.
+All reductions are carried out in float32 regardless of the compute dtype
+of the incoming logits (the bf16 AMP analogue keeps losses exact).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def binary_logits_from_two_class(outputs: jax.Array) -> jax.Array:
+    """Collapse 2-class logits (N, H, W, 2) to binary logits (N, H, W).
+
+    softmax(outputs)[..., 1] == sigmoid(outputs[..., 1] - outputs[..., 0]),
+    mirroring the reference convention (train_and_eval.py:106-113) in NHWC.
+    """
+    if outputs.ndim != 4 or outputs.shape[-1] != 2:
+        raise ValueError(f"Expected outputs shape (N,H,W,2), got {outputs.shape}")
+    return outputs[..., 1] - outputs[..., 0]
+
+
+def bce_with_logits(
+    logits: jax.Array,
+    targets: jax.Array,
+    pos_weight: jax.Array | float | None = None,
+    mask: jax.Array | None = None,
+) -> jax.Array:
+    """Numerically-stable binary cross entropy with logits.
+
+    Matches ``F.binary_cross_entropy_with_logits`` (mean reduction):
+      loss = -[ w_p * z * log(sigmoid(x)) + (1 - z) * log(1 - sigmoid(x)) ]
+
+    Args:
+        logits: arbitrary-shape float logits.
+        targets: same-shape 0/1 targets.
+        pos_weight: optional scalar weight on the positive term (neg/pos).
+        mask: optional same-shape 0/1 validity mask; the mean is taken over
+            valid elements only (used for ignore_index support).
+    """
+    x = logits.astype(jnp.float32)
+    z = targets.astype(jnp.float32)
+    # log(sigmoid(x)) = -softplus(-x);  log(1-sigmoid(x)) = -softplus(x)
+    log_p = -jax.nn.softplus(-x)
+    log_not_p = -jax.nn.softplus(x)
+    if pos_weight is not None:
+        pw = jnp.asarray(pos_weight, dtype=jnp.float32)
+        per_elem = -(pw * z * log_p + (1.0 - z) * log_not_p)
+    else:
+        per_elem = -(z * log_p + (1.0 - z) * log_not_p)
+    if mask is not None:
+        m = mask.astype(jnp.float32)
+        return jnp.sum(per_elem * m) / jnp.maximum(jnp.sum(m), 1.0)
+    return jnp.mean(per_elem)
+
+
+def _lovasz_grad(gt_sorted: jax.Array) -> jax.Array:
+    """Gradient of the Lovasz extension w.r.t. sorted errors.
+
+    cumsum-based Jaccard gradient (arXiv:1705.08790); the reference computes
+    the same quantity with torch cumsum (unet_training.py:219-230).
+    """
+    gts = jnp.sum(gt_sorted)
+    intersection = gts - jnp.cumsum(gt_sorted)
+    union = gts + jnp.cumsum(1.0 - gt_sorted)
+    jaccard = 1.0 - intersection / union
+    # jaccard[1:] -= jaccard[:-1]; jaccard[0] unchanged.
+    return jnp.concatenate([jaccard[:1], jaccard[1:] - jaccard[:-1]])
+
+
+def _lovasz_hinge_flat(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Binary Lovasz hinge on flat (P,) logits and {0,1} labels."""
+    logits = logits.astype(jnp.float32)
+    labels = labels.astype(jnp.float32)
+    signs = 2.0 * labels - 1.0
+    errors = 1.0 - logits * signs
+    # Descending sort. argsort+take keeps the gradient flowing to `logits`
+    # exactly like torch.sort's backward (a permutation).
+    perm = jnp.argsort(-errors)
+    errors_sorted = jnp.take(errors, perm)
+    gt_sorted = jnp.take(labels, perm)
+    grad = jax.lax.stop_gradient(_lovasz_grad(gt_sorted))
+    return jnp.dot(jax.nn.relu(errors_sorted), grad)
+
+
+def lovasz_hinge(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Lovasz-hinge loss for binary segmentation.
+
+    Args:
+        logits: (N, H, W) or (H, W) logits.
+        labels: same-shape {0,1} labels.
+
+    The per-image losses are averaged, matching the reference's per-image
+    loop + mean (unet_training.py:267-280) — but vmapped so the whole batch
+    sorts in one fused XLA op instead of a Python loop.
+    """
+    if logits.ndim == 2:
+        logits = logits[None]
+        labels = labels[None]
+    n = logits.shape[0]
+    flat_logits = logits.reshape(n, -1)
+    flat_labels = labels.reshape(n, -1)
+    per_image = jax.vmap(_lovasz_hinge_flat)(flat_logits, flat_labels)
+    return jnp.mean(per_image)
+
+
+def binary_segmentation_loss(
+    outputs: jax.Array,
+    targets: jax.Array,
+    loss_name: str,
+    pos_weight: jax.Array | float | None = None,
+    ignore_index: int | None = None,
+) -> jax.Array:
+    """Binary segmentation loss on 2-class logits (N, H, W, 2).
+
+    Dispatches to BCE / Lovasz-hinge exactly like the reference engine
+    (train_and_eval.py:155-182). ``ignore_index`` masks pixels for BCE; for
+    Lovasz (which needs static shapes on TPU) ignored pixels are neutralized
+    by forcing their label to the prediction's sign (zero hinge error).
+    """
+    logits = binary_logits_from_two_class(outputs).astype(jnp.float32)
+    labels = (targets == 1).astype(jnp.float32)
+
+    if loss_name == "bce":
+        mask = None if ignore_index is None else (targets != ignore_index)
+        return bce_with_logits(logits, labels, pos_weight=pos_weight, mask=mask)
+    if loss_name == "lovasz_hinge":
+        if ignore_index is not None:
+            valid = targets != ignore_index
+            # errors = 1 - logit*sign: setting label to the sign of the logit
+            # and zeroing the logit keeps static shapes while contributing a
+            # constant hinge error of 1 that the Lovasz gradient weights by
+            # ~0 when such pixels sort last; exact masking needs dynamic
+            # shapes, which the reference only uses with ignore_index=None.
+            labels = jnp.where(valid, labels, (logits > 0).astype(jnp.float32))
+            logits = jnp.where(valid, logits, jnp.sign(logits) * 1e3)
+        return lovasz_hinge(logits, labels)
+    raise ValueError(f"Unsupported loss_name: {loss_name}")
+
+
+def ce_loss(
+    logits: jax.Array,
+    target: jax.Array,
+    cls_weights: jax.Array | None = None,
+    num_classes: int = 21,
+) -> jax.Array:
+    """Pixel cross-entropy with ignore_index == num_classes.
+
+    Matches ``CE_Loss`` (unet_training.py:9-24): NHWC logits flattened to
+    (N*H*W, C), weighted mean over non-ignored pixels (torch semantics:
+    sum(w[t_i] * loss_i) / sum(w[t_i]) over valid i).
+    """
+    c = logits.shape[-1]
+    flat_logits = logits.reshape(-1, c).astype(jnp.float32)
+    flat_target = target.reshape(-1)
+    valid = flat_target != num_classes
+    safe_target = jnp.where(valid, flat_target, 0)
+    log_probs = jax.nn.log_softmax(flat_logits, axis=-1)
+    nll = -jnp.take_along_axis(log_probs, safe_target[:, None], axis=-1)[:, 0]
+    if cls_weights is None:
+        w = jnp.ones((c,), jnp.float32)
+    else:
+        w = jnp.asarray(cls_weights, jnp.float32)
+    pix_w = jnp.take(w, safe_target) * valid.astype(jnp.float32)
+    return jnp.sum(nll * pix_w) / jnp.maximum(jnp.sum(pix_w), 1e-12)
+
+
+def focal_loss(
+    logits: jax.Array,
+    target: jax.Array,
+    cls_weights: jax.Array | None = None,
+    num_classes: int = 21,
+    alpha: float = 0.5,
+    gamma: float = 2.0,
+) -> jax.Array:
+    """Focal loss on top of per-pixel CE (unet_training.py:32-59).
+
+    The reference computes per-pixel CE with reduction='none' (ignored pixels
+    contribute 0) and then takes the mean over *all* pixels — replicated here.
+    """
+    c = logits.shape[-1]
+    flat_logits = logits.reshape(-1, c).astype(jnp.float32)
+    flat_target = target.reshape(-1)
+    valid = flat_target != num_classes
+    safe_target = jnp.where(valid, flat_target, 0)
+    log_probs = jax.nn.log_softmax(flat_logits, axis=-1)
+    nll = -jnp.take_along_axis(log_probs, safe_target[:, None], axis=-1)[:, 0]
+    if cls_weights is None:
+        w = jnp.ones((c,), jnp.float32)
+    else:
+        w = jnp.asarray(cls_weights, jnp.float32)
+    pix_w = jnp.take(w, safe_target)
+    ce = nll * pix_w * valid.astype(jnp.float32)  # reduction='none' CE
+    logpt = -ce
+    pt = jnp.exp(logpt)
+    logpt = logpt * alpha
+    loss = -((1.0 - pt) ** gamma) * logpt
+    return jnp.mean(loss)
+
+
+def dice_loss(
+    logits: jax.Array,
+    target_onehot: jax.Array,
+    beta: float = 1.0,
+    smooth: float = 1e-5,
+) -> jax.Array:
+    """Soft Dice loss over softmax probabilities (unet_training.py:67-91).
+
+    Args:
+        logits: (N, H, W, C) class logits.
+        target_onehot: (N, H, W, C+1) one-hot labels where the final channel
+            is the ignore class (dropped from tp/fn like the reference's
+            ``temp_target[..., :-1]``).
+    """
+    n, h, w, c = logits.shape
+    probs = jax.nn.softmax(logits.reshape(n, -1, c).astype(jnp.float32), axis=-1)
+    tgt = target_onehot.reshape(n, -1, target_onehot.shape[-1]).astype(jnp.float32)
+    tgt_fg = tgt[..., :-1]
+    tp = jnp.sum(tgt_fg * probs, axis=(0, 1))
+    fp = jnp.sum(probs, axis=(0, 1)) - tp
+    fn = jnp.sum(tgt_fg, axis=(0, 1)) - tp
+    b2 = beta**2
+    score = ((1 + b2) * tp + smooth) / ((1 + b2) * tp + b2 * fn + fp + smooth)
+    return 1.0 - jnp.mean(score)
+
+
+def multitask_loss(
+    seg_logits: jax.Array,
+    cls_logits: jax.Array,
+    seg_targets: jax.Array,
+    cls_targets: jax.Array,
+    seg_loss_name: str = "bce",
+    cls_loss_weight: float = 1.0,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Multitask seg+cls loss (unet_multitask.py:109-139).
+
+    Args:
+        seg_logits: (N, H, W, 1) binary seg logits (1-channel head).
+        cls_logits: (N, num_cls) classification logits.
+        seg_targets: (N, H, W) {0,1} masks.
+        cls_targets: (N,) int class labels.
+
+    Returns:
+        (total_loss, seg_loss, cls_loss)
+    """
+    seg_flat = seg_logits[..., 0]
+    if seg_loss_name == "lovasz_hinge":
+        seg_l = lovasz_hinge(seg_flat, seg_targets.astype(jnp.float32))
+    else:  # "bce" and any other name fall back to BCE, like the reference
+        seg_l = bce_with_logits(seg_flat, seg_targets.astype(jnp.float32))
+    log_probs = jax.nn.log_softmax(cls_logits.astype(jnp.float32), axis=-1)
+    cls_l = -jnp.mean(
+        jnp.take_along_axis(log_probs, cls_targets[:, None], axis=-1)[:, 0]
+    )
+    return seg_l + cls_loss_weight * cls_l, seg_l, cls_l
