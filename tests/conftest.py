@@ -18,4 +18,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon sitecustomize calls register() at interpreter start, which sets
+# jax_platforms="axon,cpu" via jax.config — overriding the env var above.
+# A config update after import wins (backends are not yet initialized here).
+jax.config.update(
+    "jax_platforms", os.environ.get("UNET_TPU_TEST_PLATFORM", "cpu")
+)
 jax.config.update("jax_default_matmul_precision", "highest")

@@ -136,6 +136,36 @@ class TestBinaryDispatch:
                 jnp.zeros((1, 4, 4, 2)), jnp.zeros((1, 4, 4), jnp.int32), "nope"
             )
 
+    @pytest.mark.parametrize("loss_name", ["bce", "lovasz_hinge"])
+    def test_all_valid_sample_mask_is_identity(self, loss_name):
+        """Regression: a (N,) all-ones sample_mask must not change the loss.
+
+        (The mask broadcasts to (N,1,1); the mean's denominator must count
+        every pixel, not just N — this once inflated BCE by H*W.)
+        """
+        out = _rand((4, 8, 8, 2))
+        png = (_rand((4, 8, 8), seed=7) > 0).astype(np.int32)
+        base = losses.binary_segmentation_loss(jnp.asarray(out), jnp.asarray(png), loss_name)
+        masked = losses.binary_segmentation_loss(
+            jnp.asarray(out), jnp.asarray(png), loss_name,
+            sample_mask=jnp.ones((4,), jnp.float32),
+        )
+        assert abs(float(base) - float(masked)) < 1e-6
+
+    def test_padded_tail_sample_mask(self):
+        """Masked-out samples must not contribute; result == loss on the
+        valid prefix alone."""
+        out = _rand((4, 8, 8, 2))
+        png = (_rand((4, 8, 8), seed=8) > 0).astype(np.int32)
+        mask = jnp.asarray([1.0, 1.0, 1.0, 0.0])
+        got = losses.binary_segmentation_loss(
+            jnp.asarray(out), jnp.asarray(png), "bce", sample_mask=mask
+        )
+        expected = losses.binary_segmentation_loss(
+            jnp.asarray(out[:3]), jnp.asarray(png[:3]), "bce"
+        )
+        assert abs(float(got) - float(expected)) < 1e-6
+
 
 class TestCE:
     def test_matches_torch_with_ignore(self):

@@ -1,0 +1,251 @@
+"""Model zoo shape/dtype/param-count tests.
+
+Shape expectations derive from the reference forward traces (SURVEY.md §3.2):
+ResNet feats [64@/2, 256@/4, 512@/8, 1024@/16, 2048@/32], full-resolution
+class logits for all variants. Small inputs (64x64) keep CPU runtime sane.
+Parameter counts are compared against the torch reference architectures
+rebuilt inline, which pins every layer's width/wiring.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from unet_embroidery_seg_tpu import models
+
+
+def _init_and_apply(model, x, train=False, seed=0):
+    rng = jax.random.PRNGKey(seed)
+    variables = model.init({"params": rng, "dropout": rng}, x, train=False)
+    if train:
+        return model.apply(
+            variables, x, train=True, mutable=["batch_stats"], rngs={"dropout": rng}
+        )
+    return model.apply(variables, x, train=False), variables
+
+
+def _n_params(variables):
+    return sum(np.prod(v.shape) for v in jax.tree.leaves(variables["params"]))
+
+
+class TestBackbone:
+    def test_feature_pyramid_shapes(self):
+        x = jnp.zeros((1, 64, 64, 3))
+        feats, _ = _init_and_apply(models.ResNet50Backbone(), x)
+        shapes = [f.shape for f in feats]
+        assert shapes == [
+            (1, 32, 32, 64),
+            (1, 16, 16, 256),
+            (1, 8, 8, 512),
+            (1, 4, 4, 1024),
+            (1, 2, 2, 2048),
+        ]
+
+    def test_odd_input_ceil_mode(self):
+        # 100x100 input: conv s2 -> 50, ceil maxpool -> 25, then 13, 7, 4.
+        x = jnp.zeros((1, 100, 100, 3))
+        feats, _ = _init_and_apply(models.ResNet50Backbone(), x)
+        assert [f.shape[1] for f in feats] == [50, 25, 13, 7, 4]
+
+
+class TestModels:
+    @pytest.mark.parametrize(
+        "name,num_classes",
+        [
+            ("unet_plain", 2),
+            ("attention_unet", 2),
+            ("dualdense_unet", 2),
+            ("unet_resnet50", 2),
+        ],
+    )
+    def test_forward_shapes(self, name, num_classes):
+        model = models.build_model(name, num_classes=num_classes)
+        x = jnp.zeros((2, 64, 64, 3))
+        logits, variables = _init_and_apply(model, x)
+        assert logits.shape == (2, 64, 64, num_classes)
+        assert logits.dtype == jnp.float32
+        assert "batch_stats" in variables or name == "unet_resnet50"
+
+    def test_multitask_outputs(self):
+        model = models.build_model("multitask_unet", num_classes=1)
+        x = jnp.zeros((2, 64, 64, 3))
+        (seg, cls), _ = _init_and_apply(model, x)
+        assert seg.shape == (2, 64, 64, 1)
+        assert cls.shape == (2, 3)
+
+    def test_train_mode_updates_batch_stats(self):
+        model = models.build_model("unet_plain", num_classes=2)
+        x = jnp.asarray(np.random.RandomState(0).randn(2, 32, 32, 3), jnp.float32)
+        rng = jax.random.PRNGKey(0)
+        variables = model.init({"params": rng}, x, train=False)
+        _, updates = model.apply(variables, x, train=True, mutable=["batch_stats"])
+        before = jax.tree.leaves(variables["batch_stats"])
+        after = jax.tree.leaves(updates["batch_stats"])
+        assert any(
+            not np.allclose(np.asarray(b), np.asarray(a)) for b, a in zip(before, after)
+        )
+
+    def test_bf16_compute_f32_params(self):
+        model = models.build_model("unet_plain", num_classes=2, dtype=jnp.bfloat16)
+        x = jnp.zeros((1, 32, 32, 3))
+        logits, variables = _init_and_apply(model, x)
+        assert logits.dtype == jnp.float32  # head casts back
+        for leaf in jax.tree.leaves(variables["params"]):
+            assert leaf.dtype == jnp.float32
+
+    def test_unknown_model_raises(self):
+        with pytest.raises(ValueError):
+            models.build_model("nope", num_classes=2)
+
+
+class TestParamCounts:
+    """Pin total parameter counts against the torch reference models."""
+
+    @pytest.mark.parametrize(
+        "name,kwargs",
+        [
+            ("unet_plain", dict(num_classes=2)),
+            ("attention_unet", dict(num_classes=2)),
+            ("dualdense_unet", dict(num_classes=2)),
+            ("unet_resnet50", dict(num_classes=2)),
+            ("multitask_unet", dict(num_classes=1)),
+        ],
+    )
+    def test_count_matches_torch(self, name, kwargs):
+        torch_model = _build_torch_reference(name)
+        expected = sum(p.numel() for p in torch_model.parameters())
+        model = models.build_model(name, **kwargs)
+        x = jnp.zeros((1, 32, 32, 3))
+        rng = jax.random.PRNGKey(0)
+        variables = model.init({"params": rng, "dropout": rng}, x, train=False)
+        got = _n_params(variables)
+        assert got == expected, f"{name}: ours {got} vs torch {expected}"
+
+
+def _build_torch_reference(name):
+    """Reconstruct the reference architectures in torch for param-count parity.
+
+    This re-states the layer wiring from /root/reference/model/*.py using
+    torch built-ins only (no code copied; the wiring *is* the spec).
+    """
+    import torch
+    import torch.nn as nn
+
+    class DoubleConv(nn.Sequential):
+        def __init__(self, cin, cout):
+            super().__init__(
+                nn.Conv2d(cin, cout, 3, padding=1, bias=False),
+                nn.BatchNorm2d(cout),
+                nn.ReLU(),
+                nn.Conv2d(cout, cout, 3, padding=1, bias=False),
+                nn.BatchNorm2d(cout),
+                nn.ReLU(),
+            )
+
+    def bottleneck_params(cin, planes, stride, downsample):
+        layers = [
+            nn.Conv2d(cin, planes, 1, bias=False),
+            nn.BatchNorm2d(planes),
+            nn.Conv2d(planes, planes, 3, stride=stride, padding=1, bias=False),
+            nn.BatchNorm2d(planes),
+            nn.Conv2d(planes, planes * 4, 1, bias=False),
+            nn.BatchNorm2d(planes * 4),
+        ]
+        if downsample:
+            layers += [
+                nn.Conv2d(cin, planes * 4, 1, stride=stride, bias=False),
+                nn.BatchNorm2d(planes * 4),
+            ]
+        return nn.ModuleList(layers)
+
+    def resnet50_trunk():
+        mods = nn.ModuleList([nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False), nn.BatchNorm2d(64)])
+        inplanes = 64
+        for planes, blocks, stride in [(64, 3, 1), (128, 4, 2), (256, 6, 2), (512, 3, 2)]:
+            for b in range(blocks):
+                ds = b == 0 and (stride != 1 or inplanes != planes * 4)
+                mods.append(bottleneck_params(inplanes, planes, stride if b == 0 else 1, ds))
+                inplanes = planes * 4
+        return mods
+
+    def unet_up(cin, cout):
+        return nn.ModuleList(
+            [nn.Conv2d(cin, cout, 3, padding=1), nn.Conv2d(cout, cout, 3, padding=1)]
+        )
+
+    def resnet_decoder(num_classes):
+        in_f = [192, 512, 1024, 3072]
+        out_f = [64, 128, 256, 512]
+        mods = nn.ModuleList()
+        for i in range(4):
+            mods.append(unet_up(in_f[i], out_f[i]))
+        mods.append(unet_up(64, 64))  # up_conv (two conv3x3 with bias)
+        mods.append(nn.Conv2d(64, num_classes, 1))
+        return mods
+
+    if name == "unet_plain":
+        c = 64
+        mods = nn.ModuleList([DoubleConv(3, c)])
+        for i in range(4):
+            mods.append(DoubleConv(c * 2**i, c * 2 ** (i + 1)))
+        ups = [(c * 16 + c * 8, c * 8), (c * 8 + c * 4, c * 4), (c * 4 + c * 2, c * 2), (c * 2 + c, c)]
+        for cin, cout in ups:
+            mods.append(DoubleConv(cin, cout))
+        mods.append(nn.Conv2d(c, 2, 1))
+        return mods
+
+    if name == "attention_unet":
+        c = 64
+
+        class Gate(nn.Module):
+            def __init__(self, gate_ch, skip_ch, inter):
+                super().__init__()
+                self.theta = nn.Sequential(nn.Conv2d(skip_ch, inter, 1, bias=False), nn.BatchNorm2d(inter))
+                self.phi = nn.Sequential(nn.Conv2d(gate_ch, inter, 1, bias=False), nn.BatchNorm2d(inter))
+                self.psi = nn.Sequential(nn.Conv2d(inter, 1, 1, bias=True), nn.BatchNorm2d(1))
+
+        mods = nn.ModuleList([DoubleConv(3, c)])
+        for i in range(4):
+            mods.append(DoubleConv(c * 2**i, c * 2 ** (i + 1)))
+        specs = [(c * 16, c * 8, c * 8), (c * 8, c * 4, c * 4), (c * 4, c * 2, c * 2), (c * 2, c, c)]
+        for gate_ch, skip_ch, out_ch in specs:
+            mods.append(Gate(gate_ch, skip_ch, max(out_ch // 2, 16)))
+            mods.append(DoubleConv(gate_ch + skip_ch, out_ch))
+        mods.append(nn.Conv2d(c, 2, 1))
+        return mods
+
+    if name == "dualdense_unet":
+        c, g, L = 64, 32, 3
+
+        class DenseConvBlock(nn.Module):
+            def __init__(self, cin, cout):
+                super().__init__()
+                layers = []
+                cur = cin
+                for _ in range(L):
+                    layers.append(
+                        nn.Sequential(nn.BatchNorm2d(cur), nn.ReLU(), nn.Conv2d(cur, g, 3, padding=1, bias=False))
+                    )
+                    cur += g
+                self.layers = nn.ModuleList(layers)
+                self.trans = nn.Sequential(nn.Conv2d(cur, cout, 1, bias=False), nn.BatchNorm2d(cout), nn.ReLU())
+
+        mods = nn.ModuleList([DenseConvBlock(3, c)])
+        for i in range(4):
+            mods.append(DenseConvBlock(c * 2**i, c * 2 ** (i + 1)))
+        ups = [(c * 16 + c * 8, c * 8), (c * 8 + c * 4, c * 4), (c * 4 + c * 2, c * 2), (c * 2 + c, c)]
+        for cin, cout in ups:
+            mods.append(DenseConvBlock(cin, cout))
+        mods.append(nn.Conv2d(c, 2, 1))
+        return mods
+
+    if name == "unet_resnet50":
+        return nn.ModuleList([resnet50_trunk(), resnet_decoder(2)])
+
+    if name == "multitask_unet":
+        cls_head = nn.Sequential(nn.Linear(2048, 512), nn.Linear(512, 3))
+        return nn.ModuleList([resnet50_trunk(), resnet_decoder(1), cls_head])
+
+    raise ValueError(name)

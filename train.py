@@ -1,0 +1,505 @@
+"""U-Net training CLI (TPU-native; parity target: /root/reference/train.py).
+
+Same argparse surface, same experiment-folder artifacts (config.json,
+summary.json, test_metrics.json, val_metrics_history.{json,csv},
+weights/{best,last}.msgpack, loss/metrics curves, vis/), same task modes —
+but the engine is a jitted JAX train step with donated state, bf16 compute,
+device-accumulated metrics, and mesh data parallelism.
+
+Differences by design (TPU-first):
+  - checkpoints are flax msgpack (full TrainState: true resume, which the
+    reference lacks), named best.msgpack/last.msgpack;
+  - AMP flag maps to bf16 compute (no GradScaler needed on TPU);
+  - ``--data-path synthetic`` runs without any dataset on disk.
+"""
+
+from __future__ import annotations
+
+import csv
+import datetime
+import json
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from unet_embroidery_seg_tpu.data import DataLoader, SegmentationDataset, open_source
+from unet_embroidery_seg_tpu.engine import TrainState, checkpoint, steps
+from unet_embroidery_seg_tpu.models import SUPPORTED_MODELS, build_model, init_model
+from unet_embroidery_seg_tpu.ops import schedules
+from unet_embroidery_seg_tpu.parallel import make_mesh, replicate, shard_batch_arrays
+from unet_embroidery_seg_tpu.utils import create_exp_folder, seed_everything
+from unet_embroidery_seg_tpu.utils.plotting import plot_training_curves
+from unet_embroidery_seg_tpu.utils.vis_export import export_binary_visuals
+
+
+class LogColor:
+    GREEN = "\033[1;32m"
+    YELLOW = "\033[1;33m"
+    RED = "\033[1;31m"
+    RESET = "\033[0m"
+    BLUE = "\033[1;34m"
+
+
+def resolve_num_classes(args) -> int:
+    if args.task == "binary":
+        return 2
+    if args.task == "multitask":
+        return 2
+    return args.num_classes + 1
+
+
+def create_model_and_state(args, num_classes, rng, tx):
+    dtype = jnp.bfloat16 if args.amp else None
+    if args.task == "multitask":
+        model = build_model(
+            args.model, num_classes=1, num_seg_classes=1, num_cls_classes=3, dtype=dtype
+        )
+    else:
+        model = build_model(args.model, num_classes=num_classes, dtype=dtype)
+    variables = init_model(model, rng, (args.input_size, args.input_size))
+    if args.weights:
+        if os.path.exists(args.weights):
+            variables, _, _ = checkpoint.restore_flexible(args.weights, variables)
+        else:
+            print(f"[WARN] weights not found: {args.weights}; training from scratch")
+    state = TrainState.create(variables, tx)
+    return model, state
+
+
+def estimate_pos_weight(train_dataset, n_samples: int) -> float | None:
+    """Auto pos_weight = neg/pos over <=n linspace-sampled items (train.py:189-205)."""
+    total_pos = 0
+    total_neg = 0
+    n = min(n_samples, len(train_dataset))
+    idxs = np.linspace(0, len(train_dataset) - 1, n, dtype=int)
+    for i in idxs:
+        _, png, _ = train_dataset.get(int(i), epoch=0)
+        total_pos += int((png == 1).sum())
+        total_neg += int((png == 0).sum())
+    if total_pos > 0:
+        pw = total_neg / total_pos
+        print(f"[pos_weight auto] neg/pos = {pw:.4f} (samples={n})")
+        return pw
+    return None
+
+
+def print_train_header():
+    print(
+        f"{LogColor.GREEN}Epoch{LogColor.RESET}{' ' * 12}"
+        f"{LogColor.YELLOW}data_num{LogColor.RESET}{' ' * 12}"
+        f"{LogColor.YELLOW}Loss{LogColor.RESET}{' ' * 12}"
+        f"{LogColor.YELLOW}LR{LogColor.RESET}{' ' * 12}"
+        f"{LogColor.YELLOW}Image_size{LogColor.RESET}{' ' * 12}"
+        f"{LogColor.YELLOW}img/s{LogColor.RESET}"
+    )
+
+
+def print_train_row(epoch, train_epoch, it, n_batches, loss, lr, size, ips):
+    e = f"{epoch + 1}/{train_epoch}"
+    b = f"{it + 1}/{n_batches}"
+    lo = f"{loss:.8f}"
+    lrs = f"{lr:.8f}"
+    print(
+        f"\r{e}{' ' * (len('Epoch') + 12 - len(e))}"
+        f"{b}{' ' * (len('data_num') + 12 - len(b))}"
+        f"{lo}{' ' * (len('Loss') + 12 - len(lo))}"
+        f"{lrs}{' ' * (len('LR') + 12 - len(lrs))}"
+        f"{size}{' ' * (len('Image_size') + 12 - len(str(size)))}"
+        f"{ips:.1f}",
+        end="",
+        flush=True,
+    )
+
+
+def train(args):
+    rng = seed_everything(args.seed)
+    num_classes = resolve_num_classes(args)
+    train_epoch = args.epochs
+    batch_size = args.batch_size
+
+    mesh = make_mesh(n_data=args.mesh_data, n_space=args.mesh_space)
+    n_devices = mesh.devices.size
+    if batch_size % max(n_devices // args.mesh_space, 1) != 0:
+        raise ValueError(
+            f"batch size {batch_size} must divide the data axis "
+            f"({mesh.shape}); adjust --batch-size or --mesh-data"
+        )
+
+    exp_folder, weights_folder = create_exp_folder()
+    os.makedirs(args.cache_dir, exist_ok=True)
+    input_shape = [args.input_size, args.input_size]
+
+    with open(os.path.join(exp_folder, "config.json"), "w", encoding="utf-8") as f:
+        json.dump(vars(args), f, ensure_ascii=False, indent=2)
+
+    print(f"Loading HF Dataset from: {args.data_path}, config: {args.data_config}")
+    return_cls_label = args.task == "multitask"
+    ds_task = "binary" if args.task == "multitask" else args.task
+
+    def make_ds(split, augmentation):
+        source = open_source(args.data_path, args.data_config, split, args.cache_dir)
+        return SegmentationDataset(
+            source,
+            input_shape,
+            num_classes,
+            augmentation=augmentation,
+            task=ds_task,
+            return_cls_label=return_cls_label,
+            seed=args.seed,
+        )
+
+    train_dataset = make_ds("train", True)
+    val_dataset = make_ds("validation", False)
+    print(f"Train samples: {len(train_dataset)}, Val samples: {len(val_dataset)}")
+
+    train_loader = DataLoader(
+        train_dataset, batch_size, shuffle=True, seed=args.seed, prefetch=args.workers
+    )
+    val_loader = DataLoader(
+        val_dataset, batch_size, shuffle=False, seed=args.seed, prefetch=args.workers
+    )
+
+    # Optimizer + epoch-indexed LR schedule (reference clamps init LR to 1e-4).
+    init_lr_fit, min_lr_fit = schedules.resolve_init_lrs(batch_size, init_lr=args.lr)
+    tx = schedules.make_optimizer(
+        init_lr_fit, momentum=args.momentum, weight_decay=args.weight_decay
+    )
+    lr_scheduler_func = schedules.get_lr_scheduler(
+        "cos", init_lr_fit, min_lr_fit, train_epoch
+    )
+
+    model, state = create_model_and_state(args, num_classes, rng, tx)
+
+    # pos_weight for binary BCE (auto = neg/pos estimate).
+    pos_weight = None
+    if args.task == "binary" and args.loss == "bce" and args.pos_weight:
+        if args.pos_weight == "auto":
+            pos_weight = estimate_pos_weight(train_dataset, args.pos_weight_samples)
+        else:
+            pos_weight = float(args.pos_weight)
+
+    max_train_batches = args.max_train_batches or None
+    max_val_batches = args.max_val_batches or None
+    max_test_batches = args.max_test_batches or None
+
+    # Build jitted steps for the task.
+    focal = args.loss == "focal"
+    if args.task == "binary":
+        train_step = steps.make_binary_train_step(model, tx, args.loss, pos_weight)
+        eval_step = steps.make_binary_eval_step(model, args.loss, pos_weight)
+    elif args.task == "multitask":
+        train_step = steps.make_multitask_train_step(
+            model, tx, seg_loss_name=args.loss, cls_loss_weight=args.cls_loss_weight
+        )
+        eval_step = steps.make_multitask_eval_step(
+            model, seg_loss_name=args.loss, cls_loss_weight=args.cls_loss_weight
+        )
+    else:
+        train_step = steps.make_multiclass_train_step(
+            model, tx, num_classes, focal=focal, use_dice=args.use_dice
+        )
+        eval_step = steps.make_multiclass_eval_step(
+            model, num_classes, focal=focal, use_dice=args.use_dice
+        )
+
+    # Replicate state over the mesh.
+    state = jax.device_put(state, replicate(mesh))
+    dropout_rng = jax.random.fold_in(rng, 1)
+
+    start_time = time.time()
+    best_score = -1.0
+    best_epoch = None
+    best_val_metrics = None
+    best_model_path = os.path.join(weights_folder, "best.msgpack")
+    last_model_path = os.path.join(weights_folder, "last.msgpack")
+
+    train_losses: list[float] = []
+    val_losses: list[float] = []
+    val_metrics_history: list[dict] = []
+
+    def run_train_epoch(epoch: int) -> float | dict:
+        nonlocal state
+        epoch_loss = 0.0
+        seen = 0
+        lr_now = lr_scheduler_func(epoch)
+        state = state.replace(
+            opt_state=schedules.set_learning_rate(state.opt_state, lr_now)
+        )
+        n_batches = len(train_loader)
+        print_train_header()
+        mt_stats = {"seg": 0.0, "cls": 0.0, "correct": 0, "total": 0}
+        t_epoch = time.time()
+        images_done = 0
+        for it, (batch, n_valid) in enumerate(train_loader.epoch(epoch)):
+            if max_train_batches and it >= max_train_batches:
+                break
+            sample_mask = (np.arange(batch_size) < n_valid).astype(np.float32)
+            step_rng = jax.random.fold_in(dropout_rng, epoch * 100000 + it)
+            if args.task == "multitask":
+                images, pngs, cls_t, mask = shard_batch_arrays(
+                    mesh, batch.images, batch.pngs, batch.cls_labels, sample_mask
+                )
+                state, (total_l, seg_l, cls_l), correct = train_step(
+                    state, images, pngs, cls_t, mask, step_rng
+                )
+                loss_val = float(total_l)
+                mt_stats["seg"] += float(seg_l)
+                mt_stats["cls"] += float(cls_l)
+                mt_stats["correct"] += int(correct)
+                mt_stats["total"] += n_valid
+            else:
+                images, pngs, mask = shard_batch_arrays(
+                    mesh, batch.images, batch.pngs, sample_mask
+                )
+                state, loss = train_step(state, images, pngs, mask, step_rng)
+                loss_val = float(loss)
+            epoch_loss += loss_val
+            seen += 1
+            images_done += n_valid
+            ips = images_done / max(time.time() - t_epoch, 1e-6)
+            print_train_row(
+                epoch, train_epoch, it, n_batches, loss_val, lr_now, args.input_size, ips
+            )
+        print(LogColor.RESET)
+        avg = epoch_loss / max(seen, 1)
+        if args.task == "multitask":
+            acc = 100.0 * mt_stats["correct"] / max(mt_stats["total"], 1)
+            print(
+                f"Epoch {epoch + 1}/{train_epoch} - Loss: {avg:.4f} "
+                f"(Seg: {mt_stats['seg'] / max(seen, 1):.4f}, "
+                f"Cls: {mt_stats['cls'] / max(seen, 1):.4f}), Cls Acc: {acc:.2f}%"
+            )
+        return avg
+
+    def run_eval(loader, max_batches) -> dict:
+        total_loss = 0.0
+        seen = 0
+        counts = np.zeros(4, np.int64)
+        mt_counts = np.zeros(4, np.int64)
+        mt_confusion = np.zeros((3, 3), np.int64)
+        mc_sums: dict[str, float] = {}
+        for it, (batch, n_valid) in enumerate(loader.epoch(0)):
+            if max_batches and it >= max_batches:
+                break
+            sample_mask = (np.arange(batch.images.shape[0]) < n_valid).astype(np.float32)
+            if args.task == "multitask":
+                images, pngs, cls_t, mask = shard_batch_arrays(
+                    mesh, batch.images, batch.pngs, batch.cls_labels, sample_mask
+                )
+                (total_l, seg_l, cls_l), seg_counts, confusion = eval_step(
+                    state, images, pngs, cls_t, mask
+                )
+                total_loss += float(total_l)
+                mt_counts += np.asarray(seg_counts, np.int64)
+                mt_confusion += np.asarray(confusion, np.int64)
+            elif args.task == "binary":
+                images, pngs, mask = shard_batch_arrays(
+                    mesh, batch.images, batch.pngs, sample_mask
+                )
+                loss, c = eval_step(state, images, pngs, mask)
+                total_loss += float(loss)
+                counts += np.asarray(c, np.int64)
+            else:
+                images, pngs, mask = shard_batch_arrays(
+                    mesh, batch.images, batch.pngs, sample_mask
+                )
+                loss, m = eval_step(state, images, pngs, mask)
+                total_loss += float(loss)
+                for k, v in m.items():
+                    mc_sums[k] = mc_sums.get(k, 0.0) + float(v)
+            seen += 1
+        seen = max(seen, 1)
+        from unet_embroidery_seg_tpu.ops import metrics as M
+
+        if args.task == "binary":
+            out = M.binary_metrics_from_counts(*counts)
+            out["Loss"] = total_loss / seen
+            return out
+        if args.task == "multitask":
+            seg_m = M.multitask_seg_metrics_from_counts(*mt_counts)
+            correct = int(np.trace(mt_confusion))
+            total = int(mt_confusion.sum())
+            return {
+                "Loss": total_loss / seen,
+                "IoU": seg_m["IoU"],
+                "Dice": seg_m["Dice"],
+                "Cls Acc": 100.0 * correct / max(total, 1),
+            }
+        out = {k: v / seen for k, v in mc_sums.items()}
+        out["Loss"] = total_loss / seen
+        return out
+
+    for epoch in range(train_epoch):
+        loss = run_train_epoch(epoch)
+        train_losses.append(loss)
+
+        metrics = run_eval(val_loader, max_val_batches)
+        if args.task == "binary":
+            current_score = float(metrics["IoU"])
+        elif args.task == "multitask":
+            current_score = float(metrics["IoU"])
+            print(
+                f"Val - IoU: {metrics['IoU']:.4f}, Dice: {metrics['Dice']:.4f}, "
+                f"Cls Acc: {metrics['Cls Acc']:.2f}%"
+            )
+        else:
+            current_score = float(metrics["Mean IoU"])
+        val_losses.append(metrics["Loss"])
+        val_metrics_history.append(metrics)
+
+        if current_score > best_score:
+            best_score = current_score
+            best_epoch = epoch + 1
+            best_val_metrics = metrics
+            checkpoint.save_state(best_model_path, state, extra={"epoch": epoch + 1})
+            print(f"New best model saved with score: {best_score:.4f}")
+        checkpoint.save_state(last_model_path, state, extra={"epoch": epoch + 1})
+
+    total_time = time.time() - start_time
+    print(f"Training completed in {datetime.timedelta(seconds=int(total_time))}")
+
+    plot_training_curves(train_losses, val_losses, val_metrics_history, weights_folder)
+
+    # Test-set evaluation of the best checkpoint (+ vis export).
+    test_metrics = None
+    try:
+        test_source = open_source(args.data_path, args.data_config, "test", args.cache_dir)
+        test_dataset = SegmentationDataset(
+            test_source,
+            input_shape,
+            num_classes,
+            augmentation=False,
+            task=ds_task,
+            return_cls_label=return_cls_label,
+            seed=args.seed,
+        )
+        test_loader = DataLoader(
+            test_dataset, batch_size, shuffle=False, seed=args.seed, prefetch=2
+        )
+        state, _ = checkpoint.restore_state(best_model_path, state)
+        state = jax.device_put(state, replicate(mesh))
+        test_metrics = run_eval(test_loader, max_test_batches)
+        with open(os.path.join(exp_folder, "test_metrics.json"), "w", encoding="utf-8") as f:
+            json.dump(test_metrics, f, ensure_ascii=False, indent=2)
+
+        if args.task in ["binary", "multitask"] and args.export_vis:
+            predict_fn = steps.make_predict_fn(model)
+            export_binary_visuals(
+                predict_fn,
+                state.variables,
+                test_source,
+                out_dir=os.path.join(exp_folder, "vis"),
+                input_shape=tuple(input_shape),
+                num_samples=args.vis_num,
+                seed=args.vis_seed,
+                multitask=(args.task == "multitask"),
+            )
+    except Exception as e:  # keep artifact writing alive, like the reference
+        print(f"[WARN] Skip test evaluation: {e}")
+
+    with open(os.path.join(exp_folder, "val_metrics_history.json"), "w", encoding="utf-8") as f:
+        json.dump(val_metrics_history, f, ensure_ascii=False, indent=2)
+
+    csv_path = os.path.join(exp_folder, "val_metrics_history.csv")
+    fieldnames = ["epoch"]
+    for m in val_metrics_history:
+        for k in m.keys():
+            if k not in fieldnames:
+                fieldnames.append(k)
+    with open(csv_path, "w", newline="", encoding="utf-8") as f:
+        writer = csv.DictWriter(f, fieldnames=fieldnames)
+        writer.writeheader()
+        for i, m in enumerate(val_metrics_history, start=1):
+            row = {"epoch": i}
+            row.update(m)
+            writer.writerow(row)
+
+    with open(os.path.join(exp_folder, "summary.json"), "w", encoding="utf-8") as f:
+        json.dump(
+            {
+                "best_epoch": best_epoch,
+                "best_score": float(best_score),
+                "best_val_metrics": best_val_metrics,
+                "test_metrics": test_metrics,
+                "best_model_path": best_model_path,
+                "last_model_path": last_model_path,
+            },
+            f,
+            ensure_ascii=False,
+            indent=2,
+        )
+    return exp_folder
+
+
+def parse_args(argv=None):
+    import argparse
+
+    parser = argparse.ArgumentParser(description="U-Net Training with HF Dataset (TPU)")
+
+    parser.add_argument("--weights", default="",
+                        help="Path to pretrained weights (msgpack checkpoint)")
+    parser.add_argument("--data-path", default="./hf_datasets/merged_dataset_v2",
+                        help="Path to HF dataset directory, or 'synthetic[:N]'")
+    parser.add_argument("--data-config", default="no-ai", choices=["full", "no-ai", "sam3"],
+                        help="Dataset config to use")
+    parser.add_argument("--task", default="binary",
+                        choices=["binary", "multiclass", "multitask"],
+                        help="Segmentation task")
+    parser.add_argument("--model", default="unet_resnet50",
+                        choices=sorted(SUPPORTED_MODELS.keys()),
+                        help="Model architecture (use 'multitask_unet' for multitask)")
+    parser.add_argument("--cls-loss-weight", default=1.0, type=float,
+                        help="For multitask only: classification loss weight")
+    parser.add_argument("--loss", default="lovasz_hinge",
+                        choices=["bce", "lovasz_hinge", "ce", "focal"],
+                        help="Loss function")
+    parser.add_argument("--pos-weight", default="auto",
+                        help="For binary BCE: 'auto', a float, or '' to disable")
+    parser.add_argument("--pos-weight-samples", default=80, type=int)
+    parser.add_argument("--use-dice", action=_boolopt(), default=True,
+                        help="For multiclass only: add Dice loss")
+    parser.add_argument("--num-classes", default=4, type=int,
+                        help="For multiclass only: foreground classes (no background)")
+    parser.add_argument("--device", default="tpu", help="Accepted for CLI parity; ignored (JAX picks the backend)")
+    parser.add_argument("--batch-size", default=8, type=int)
+    parser.add_argument("--epochs", default=50, type=int, metavar="N")
+    parser.add_argument("--input-size", default=512, type=int)
+    parser.add_argument("--workers", default=4, type=int, metavar="N",
+                        help="Prefetch depth of the host input pipeline")
+    parser.add_argument("--lr", default=0.0001, type=float)
+    parser.add_argument("--momentum", default=0.9, type=float, metavar="M")
+    parser.add_argument("--wd", "--weight-decay", default=1e-4, type=float,
+                        metavar="W", dest="weight_decay")
+    parser.add_argument("--amp", action=_boolopt(), default=True,
+                        help="bf16 compute with f32 master params")
+    parser.add_argument("--seed", default=11, type=int)
+    parser.add_argument("--cache-dir", default=".hf-cache/datasets")
+    parser.add_argument("--export-vis", action=_boolopt(), default=True)
+    parser.add_argument("--vis-num", default=8, type=int)
+    parser.add_argument("--vis-seed", default=0, type=int)
+    parser.add_argument("--max-train-batches", default=0, type=int)
+    parser.add_argument("--max-val-batches", default=0, type=int)
+    parser.add_argument("--max-test-batches", default=0, type=int)
+    parser.add_argument("--mesh-data", default=None, type=int,
+                        help="Data-parallel axis size (default: all devices)")
+    parser.add_argument("--mesh-space", default=1, type=int,
+                        help="Spatial-parallel axis size over image H")
+
+    args = parser.parse_args(argv)
+    if args.pos_weight == "":
+        args.pos_weight = None
+    return args
+
+
+def _boolopt():
+    import argparse
+
+    return argparse.BooleanOptionalAction
+
+
+if __name__ == "__main__":
+    train(parse_args())

@@ -1,0 +1,41 @@
+"""Attention U-Net (parity: /root/reference/model/unet_attention.py).
+
+UNetPlain topology with additive attention gates scaling the skip paths.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from unet_embroidery_seg_tpu.models.blocks import DoubleConv, Down, UpAttn, conv_init
+
+
+class AttentionUNet(nn.Module):
+    num_classes: int = 2
+    base_channels: int = 64
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.base_channels
+        x1 = DoubleConv(c, dtype=self.dtype, name="inc")(x, train)
+        x2 = Down(c * 2, dtype=self.dtype, name="down1")(x1, train)
+        x3 = Down(c * 4, dtype=self.dtype, name="down2")(x2, train)
+        x4 = Down(c * 8, dtype=self.dtype, name="down3")(x3, train)
+        x5 = Down(c * 16, dtype=self.dtype, name="down4")(x4, train)
+
+        x = UpAttn(c * 8, dtype=self.dtype, name="up1")(x5, x4, train)
+        x = UpAttn(c * 4, dtype=self.dtype, name="up2")(x, x3, train)
+        x = UpAttn(c * 2, dtype=self.dtype, name="up3")(x, x2, train)
+        x = UpAttn(c, dtype=self.dtype, name="up4")(x, x1, train)
+
+        logits = nn.Conv(
+            self.num_classes,
+            (1, 1),
+            use_bias=True,
+            kernel_init=conv_init,
+            dtype=self.dtype,
+            name="outc",
+        )(x)
+        return logits.astype(jnp.float32)

@@ -1,0 +1,50 @@
+"""ResNet50-encoder U-Net (parity: /root/reference/model/unet_resnet.py).
+
+Decoder: 4 UnetUpNoBN stages over in_filters [192, 512, 1024, 3072] ->
+out_filters [64, 128, 256, 512] (skip+up channel sums), plus a final x2
+upsample head restoring full resolution and a 1x1 class head.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from unet_embroidery_seg_tpu.models.blocks import FinalUpConv, UnetUpNoBN, conv_init
+from unet_embroidery_seg_tpu.models.resnet_backbone import ResNet50Backbone
+
+
+class UNetResNet50(nn.Module):
+    num_classes: int = 21  # VOC-legacy default, matching unet_resnet.py:47
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        feat1, feat2, feat3, feat4, feat5 = ResNet50Backbone(
+            dtype=self.dtype, name="resnet"
+        )(x, train)
+
+        out_filters = (64, 128, 256, 512)
+        up4 = UnetUpNoBN(out_filters[3], dtype=self.dtype, name="up_concat4")(
+            feat4, feat5, train
+        )
+        up3 = UnetUpNoBN(out_filters[2], dtype=self.dtype, name="up_concat3")(
+            feat3, up4, train
+        )
+        up2 = UnetUpNoBN(out_filters[1], dtype=self.dtype, name="up_concat2")(
+            feat2, up3, train
+        )
+        up1 = UnetUpNoBN(out_filters[0], dtype=self.dtype, name="up_concat1")(
+            feat1, up2, train
+        )
+
+        up1 = FinalUpConv(out_filters[0], dtype=self.dtype, name="up_conv")(up1)
+        logits = nn.Conv(
+            self.num_classes,
+            (1, 1),
+            use_bias=True,
+            kernel_init=conv_init,
+            dtype=self.dtype,
+            name="final",
+        )(up1)
+        return logits.astype(jnp.float32)

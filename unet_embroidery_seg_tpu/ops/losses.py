@@ -59,7 +59,9 @@ def bce_with_logits(
     else:
         per_elem = -(z * log_p + (1.0 - z) * log_not_p)
     if mask is not None:
-        m = mask.astype(jnp.float32)
+        # Broadcast before normalizing: a (N,1,1) per-sample mask must count
+        # every pixel of a valid sample in the denominator.
+        m = jnp.broadcast_to(mask.astype(jnp.float32), per_elem.shape)
         return jnp.sum(per_elem * m) / jnp.maximum(jnp.sum(m), 1.0)
     return jnp.mean(per_elem)
 
@@ -93,12 +95,24 @@ def _lovasz_hinge_flat(logits: jax.Array, labels: jax.Array) -> jax.Array:
     return jnp.dot(jax.nn.relu(errors_sorted), grad)
 
 
-def lovasz_hinge(logits: jax.Array, labels: jax.Array) -> jax.Array:
+def lovasz_hinge_per_image(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """(N,) per-image Lovasz-hinge losses (vmapped batch sort)."""
+    n = logits.shape[0]
+    flat_logits = logits.reshape(n, -1)
+    flat_labels = labels.reshape(n, -1)
+    return jax.vmap(_lovasz_hinge_flat)(flat_logits, flat_labels)
+
+
+def lovasz_hinge(
+    logits: jax.Array, labels: jax.Array, sample_mask: jax.Array | None = None
+) -> jax.Array:
     """Lovasz-hinge loss for binary segmentation.
 
     Args:
         logits: (N, H, W) or (H, W) logits.
         labels: same-shape {0,1} labels.
+        sample_mask: optional (N,) 0/1 validity weights — the mean is taken
+            over valid images only (used to neutralize padded tail batches).
 
     The per-image losses are averaged, matching the reference's per-image
     loop + mean (unet_training.py:267-280) — but vmapped so the whole batch
@@ -107,10 +121,10 @@ def lovasz_hinge(logits: jax.Array, labels: jax.Array) -> jax.Array:
     if logits.ndim == 2:
         logits = logits[None]
         labels = labels[None]
-    n = logits.shape[0]
-    flat_logits = logits.reshape(n, -1)
-    flat_labels = labels.reshape(n, -1)
-    per_image = jax.vmap(_lovasz_hinge_flat)(flat_logits, flat_labels)
+    per_image = lovasz_hinge_per_image(logits, labels)
+    if sample_mask is not None:
+        m = sample_mask.astype(jnp.float32)
+        return jnp.sum(per_image * m) / jnp.maximum(jnp.sum(m), 1.0)
     return jnp.mean(per_image)
 
 
@@ -120,6 +134,7 @@ def binary_segmentation_loss(
     loss_name: str,
     pos_weight: jax.Array | float | None = None,
     ignore_index: int | None = None,
+    sample_mask: jax.Array | None = None,
 ) -> jax.Array:
     """Binary segmentation loss on 2-class logits (N, H, W, 2).
 
@@ -132,7 +147,12 @@ def binary_segmentation_loss(
     labels = (targets == 1).astype(jnp.float32)
 
     if loss_name == "bce":
-        mask = None if ignore_index is None else (targets != ignore_index)
+        mask = None
+        if ignore_index is not None:
+            mask = (targets != ignore_index).astype(jnp.float32)
+        if sample_mask is not None:
+            sm = sample_mask.astype(jnp.float32)[:, None, None]
+            mask = sm if mask is None else mask * sm
         return bce_with_logits(logits, labels, pos_weight=pos_weight, mask=mask)
     if loss_name == "lovasz_hinge":
         if ignore_index is not None:
@@ -144,7 +164,7 @@ def binary_segmentation_loss(
             # shapes, which the reference only uses with ignore_index=None.
             labels = jnp.where(valid, labels, (logits > 0).astype(jnp.float32))
             logits = jnp.where(valid, logits, jnp.sign(logits) * 1e3)
-        return lovasz_hinge(logits, labels)
+        return lovasz_hinge(logits, labels, sample_mask=sample_mask)
     raise ValueError(f"Unsupported loss_name: {loss_name}")
 
 
@@ -153,6 +173,7 @@ def ce_loss(
     target: jax.Array,
     cls_weights: jax.Array | None = None,
     num_classes: int = 21,
+    sample_mask: jax.Array | None = None,
 ) -> jax.Array:
     """Pixel cross-entropy with ignore_index == num_classes.
 
@@ -160,10 +181,14 @@ def ce_loss(
     (N*H*W, C), weighted mean over non-ignored pixels (torch semantics:
     sum(w[t_i] * loss_i) / sum(w[t_i]) over valid i).
     """
+    n = logits.shape[0]
     c = logits.shape[-1]
     flat_logits = logits.reshape(-1, c).astype(jnp.float32)
     flat_target = target.reshape(-1)
     valid = flat_target != num_classes
+    if sample_mask is not None:
+        per_pix = target.reshape(n, -1).shape[1]
+        valid = valid & jnp.repeat(sample_mask.astype(bool), per_pix)
     safe_target = jnp.where(valid, flat_target, 0)
     log_probs = jax.nn.log_softmax(flat_logits, axis=-1)
     nll = -jnp.take_along_axis(log_probs, safe_target[:, None], axis=-1)[:, 0]
@@ -182,16 +207,24 @@ def focal_loss(
     num_classes: int = 21,
     alpha: float = 0.5,
     gamma: float = 2.0,
+    sample_mask: jax.Array | None = None,
 ) -> jax.Array:
     """Focal loss on top of per-pixel CE (unet_training.py:32-59).
 
     The reference computes per-pixel CE with reduction='none' (ignored pixels
-    contribute 0) and then takes the mean over *all* pixels — replicated here.
+    contribute 0) and then takes the mean over *all* pixels — replicated
+    here. With ``sample_mask`` the mean denominator is the pixel count of
+    valid samples (i.e. exactly what the reference would see on the
+    unpadded partial batch).
     """
+    n = logits.shape[0]
     c = logits.shape[-1]
     flat_logits = logits.reshape(-1, c).astype(jnp.float32)
     flat_target = target.reshape(-1)
     valid = flat_target != num_classes
+    per_pix = target.reshape(n, -1).shape[1]
+    if sample_mask is not None:
+        valid = valid & jnp.repeat(sample_mask.astype(bool), per_pix)
     safe_target = jnp.where(valid, flat_target, 0)
     log_probs = jax.nn.log_softmax(flat_logits, axis=-1)
     nll = -jnp.take_along_axis(log_probs, safe_target[:, None], axis=-1)[:, 0]
@@ -205,6 +238,11 @@ def focal_loss(
     pt = jnp.exp(logpt)
     logpt = logpt * alpha
     loss = -((1.0 - pt) ** gamma) * logpt
+    if sample_mask is not None:
+        denom = jnp.maximum(jnp.sum(sample_mask.astype(jnp.float32)) * per_pix, 1.0)
+        # padded samples have valid=False -> ce=0 -> pt=1 -> loss=0 exactly,
+        # so only the denominator needs correcting.
+        return jnp.sum(loss) / denom
     return jnp.mean(loss)
 
 
@@ -213,6 +251,7 @@ def dice_loss(
     target_onehot: jax.Array,
     beta: float = 1.0,
     smooth: float = 1e-5,
+    sample_mask: jax.Array | None = None,
 ) -> jax.Array:
     """Soft Dice loss over softmax probabilities (unet_training.py:67-91).
 
@@ -225,6 +264,10 @@ def dice_loss(
     n, h, w, c = logits.shape
     probs = jax.nn.softmax(logits.reshape(n, -1, c).astype(jnp.float32), axis=-1)
     tgt = target_onehot.reshape(n, -1, target_onehot.shape[-1]).astype(jnp.float32)
+    if sample_mask is not None:
+        sm = sample_mask.astype(jnp.float32)[:, None, None]
+        probs = probs * sm
+        tgt = tgt * sm
     tgt_fg = tgt[..., :-1]
     tp = jnp.sum(tgt_fg * probs, axis=(0, 1))
     fp = jnp.sum(probs, axis=(0, 1)) - tp
@@ -241,6 +284,7 @@ def multitask_loss(
     cls_targets: jax.Array,
     seg_loss_name: str = "bce",
     cls_loss_weight: float = 1.0,
+    sample_mask: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Multitask seg+cls loss (unet_multitask.py:109-139).
 
@@ -254,12 +298,22 @@ def multitask_loss(
         (total_loss, seg_loss, cls_loss)
     """
     seg_flat = seg_logits[..., 0]
+    pix_mask = None
+    if sample_mask is not None:
+        pix_mask = jnp.broadcast_to(
+            sample_mask.astype(jnp.float32)[:, None, None], seg_flat.shape
+        )
     if seg_loss_name == "lovasz_hinge":
-        seg_l = lovasz_hinge(seg_flat, seg_targets.astype(jnp.float32))
+        seg_l = lovasz_hinge(
+            seg_flat, seg_targets.astype(jnp.float32), sample_mask=sample_mask
+        )
     else:  # "bce" and any other name fall back to BCE, like the reference
-        seg_l = bce_with_logits(seg_flat, seg_targets.astype(jnp.float32))
+        seg_l = bce_with_logits(seg_flat, seg_targets.astype(jnp.float32), mask=pix_mask)
     log_probs = jax.nn.log_softmax(cls_logits.astype(jnp.float32), axis=-1)
-    cls_l = -jnp.mean(
-        jnp.take_along_axis(log_probs, cls_targets[:, None], axis=-1)[:, 0]
-    )
+    per_sample_nll = -jnp.take_along_axis(log_probs, cls_targets[:, None], axis=-1)[:, 0]
+    if sample_mask is not None:
+        m = sample_mask.astype(jnp.float32)
+        cls_l = jnp.sum(per_sample_nll * m) / jnp.maximum(jnp.sum(m), 1.0)
+    else:
+        cls_l = jnp.mean(per_sample_nll)
     return seg_l + cls_loss_weight * cls_l, seg_l, cls_l

@@ -13,20 +13,28 @@ TPU with a single host transfer at the end.
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
+
+
+def np_prod(shape) -> int:
+    return math.prod(int(s) for s in shape)
 
 
 def binary_confusion_counts(
     pred: jax.Array,
     target: jax.Array,
     ignore_index: int | None = None,
+    sample_mask: jax.Array | None = None,
 ) -> jax.Array:
     """Pixel-accumulated (tp, fp, fn, tn) for binary segmentation.
 
     Args:
-        pred: (...,) integer predictions in {0, 1}.
+        pred: (N, ...) integer predictions in {0, 1}.
         target: same-shape integer targets in {0, 1} (or ignore_index).
+        sample_mask: optional (N,) validity mask (padded-batch support).
 
     Returns:
         int32 array of shape (4,): [tp, fp, fn, tn].
@@ -37,6 +45,11 @@ def binary_confusion_counts(
         valid = target != ignore_index
     else:
         valid = jnp.ones_like(target_fg)
+    if sample_mask is not None:
+        sm = sample_mask.astype(bool).reshape(
+            (-1,) + (1,) * (target.ndim - 1)
+        )
+        valid = valid & sm
     tp = jnp.sum(pred_fg & target_fg & valid)
     fp = jnp.sum(pred_fg & ~target_fg & valid)
     fn = jnp.sum(~pred_fg & target_fg & valid)
@@ -80,7 +93,10 @@ def _per_class_tables(pred: jax.Array, target: jax.Array, num_classes: int):
 
 
 def multiclass_batch_metrics(
-    logits: jax.Array, target: jax.Array, num_classes: int
+    logits: jax.Array,
+    target: jax.Array,
+    num_classes: int,
+    sample_mask: jax.Array | None = None,
 ) -> dict[str, jax.Array]:
     """One batch's Pixel Acc / Mean Acc / Mean IoU / FW IoU (f32 scalars).
 
@@ -95,12 +111,27 @@ def multiclass_batch_metrics(
         target: (N, H, W) integer labels.
     """
     pred = jnp.argmax(logits, axis=-1)
+    if sample_mask is not None:
+        # Route invalid samples to out-of-range ids so no class table counts
+        # them (and pixel accuracy masks them explicitly below).
+        sm = sample_mask.astype(bool).reshape((-1,) + (1,) * (target.ndim - 1))
+        pred = jnp.where(sm, pred, -1)
+        target = jnp.where(sm, target, -2)
     inter, union, t_cnt, _ = _per_class_tables(pred, target, num_classes)
     inter = inter.astype(jnp.float32)
     union = union.astype(jnp.float32)
     t_cnt = t_cnt.astype(jnp.float32)
 
-    pixel_acc = jnp.mean((pred == target).astype(jnp.float32))
+    correct = (pred == target).astype(jnp.float32)
+    if sample_mask is not None:
+        n_valid_pix = jnp.maximum(
+            jnp.sum(sample_mask.astype(jnp.float32))
+            * float(np_prod(target.shape[1:])),
+            1.0,
+        )
+        pixel_acc = jnp.sum(correct) / n_valid_pix
+    else:
+        pixel_acc = jnp.mean(correct)
 
     present = t_cnt > 0
     n_present = jnp.maximum(jnp.sum(present.astype(jnp.float32)), 1.0)
@@ -121,7 +152,11 @@ def multiclass_batch_metrics(
     }
 
 
-def multitask_seg_counts(seg_logits: jax.Array, seg_targets: jax.Array) -> jax.Array:
+def multitask_seg_counts(
+    seg_logits: jax.Array,
+    seg_targets: jax.Array,
+    sample_mask: jax.Array | None = None,
+) -> jax.Array:
     """Dataset-global [intersection, union, pred_sum, target_sum] for multitask.
 
     The reference concatenates sigmoid>0.5 predictions across the whole split
@@ -130,6 +165,10 @@ def multitask_seg_counts(seg_logits: jax.Array, seg_targets: jax.Array) -> jax.A
     """
     pred = (jax.nn.sigmoid(seg_logits[..., 0].astype(jnp.float32)) > 0.5)
     tgt = seg_targets == 1
+    if sample_mask is not None:
+        sm = sample_mask.astype(bool).reshape((-1,) + (1,) * (tgt.ndim - 1))
+        pred = pred & sm
+        tgt = tgt & sm
     inter = jnp.sum(pred & tgt)
     union = jnp.sum(pred | tgt)
     psum = jnp.sum(pred)
