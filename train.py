@@ -32,6 +32,7 @@ from unet_embroidery_seg_tpu.models import SUPPORTED_MODELS, build_model, init_m
 from unet_embroidery_seg_tpu.ops import schedules
 from unet_embroidery_seg_tpu.parallel import make_mesh, replicate, shard_batch_arrays
 from unet_embroidery_seg_tpu.utils import create_exp_folder, seed_everything
+from unet_embroidery_seg_tpu.utils import profiling
 from unet_embroidery_seg_tpu.utils.plotting import plot_training_curves
 from unet_embroidery_seg_tpu.utils.vis_export import export_binary_visuals
 
@@ -230,13 +231,26 @@ def train(args):
             opt_state=schedules.set_learning_rate(state.opt_state, lr_now)
         )
         n_batches = len(train_loader)
+        hbm = profiling.device_memory_stats()
+        if hbm:
+            print(f"HBM: {hbm}")
         print_train_header()
         mt_stats = {"seg": 0.0, "cls": 0.0, "correct": 0, "total": 0}
         t_epoch = time.time()
         images_done = 0
+        trace_dir = os.path.join(exp_folder, "trace")
+        tracing = False
         for it, (batch, n_valid) in enumerate(train_loader.epoch(epoch)):
             if max_train_batches and it >= max_train_batches:
                 break
+            # Profile a post-compile window of epoch 0 (--profile): steps
+            # [1, 1+profile_steps) land in a TensorBoard-loadable XLA trace.
+            if args.profile and epoch == 0:
+                if it == 1:
+                    tracing = profiling.safe_start_trace(trace_dir)
+                elif tracing and it == 1 + args.profile_steps:
+                    profiling.safe_stop_trace(trace_dir)
+                    tracing = False
             sample_mask = (np.arange(batch_size) < n_valid).astype(np.float32)
             step_rng = jax.random.fold_in(dropout_rng, epoch * 100000 + it)
             if args.task == "multitask":
@@ -264,6 +278,8 @@ def train(args):
             print_train_row(
                 epoch, train_epoch, it, n_batches, loss_val, lr_now, args.input_size, ips
             )
+        if tracing:
+            profiling.safe_stop_trace(trace_dir)
         print(LogColor.RESET)
         avg = epoch_loss / max(seen, 1)
         if args.task == "multitask":
@@ -484,6 +500,9 @@ def parse_args(argv=None):
     parser.add_argument("--max-train-batches", default=0, type=int)
     parser.add_argument("--max-val-batches", default=0, type=int)
     parser.add_argument("--max-test-batches", default=0, type=int)
+    parser.add_argument("--profile", action=_boolopt(), default=False,
+                        help="Write an XLA trace of a few train steps to expN/trace")
+    parser.add_argument("--profile-steps", default=4, type=int)
     parser.add_argument("--mesh-data", default=None, type=int,
                         help="Data-parallel axis size (default: all devices)")
     parser.add_argument("--mesh-space", default=1, type=int,
