@@ -121,6 +121,49 @@ class SyntheticSource:
         }
 
 
+class VOCSource:
+    """Raw VOC-tree sample source (legacy-path parity: utils/dataloader.py).
+
+    Reads ``{data_path}/VOC2012/ImageSets/Segmentation/{split}.txt`` id lists
+    and serves JPEGImages/{id}.jpg + SegmentationClass/{id}.png pairs; the
+    same SegmentationDataset transforms apply on top. The reference keeps an
+    equivalent torch Dataset that its entry points no longer use
+    (/root/reference/utils/dataloader.py:10-34); here it also backs
+    ``open_source`` for ``--data-path`` values pointing at a VOCdevkit tree.
+    """
+
+    SPLIT_TXT = {"train": "train.txt", "validation": "val.txt", "test": "test.txt"}
+
+    def __init__(self, data_path: str, split: str = "train"):
+        txt = self.SPLIT_TXT.get(split, f"{split}.txt")
+        list_path = os.path.join(data_path, "VOC2012", "ImageSets", "Segmentation", txt)
+        with open(list_path, "r", encoding="utf-8") as f:
+            self.ids = [line.strip() for line in f if line.strip()]
+        self.jpeg_dir = os.path.join(data_path, "VOC2012", "JPEGImages")
+        self.mask_dir = os.path.join(data_path, "VOC2012", "SegmentationClass")
+
+    def __len__(self) -> int:
+        return len(self.ids)
+
+    def __getitem__(self, index: int) -> dict:
+        name = self.ids[int(index)]
+        image = None
+        for ext in (".jpg", ".png", ".jpeg"):
+            p = os.path.join(self.jpeg_dir, name + ext)
+            if os.path.exists(p):
+                image = Image.open(p)
+                break
+        if image is None:
+            raise FileNotFoundError(f"image for id {name} not found in {self.jpeg_dir}")
+        mask = Image.open(os.path.join(self.mask_dir, name + ".png"))
+        return {
+            "image": image.convert("RGB"),
+            "mask": mask.convert("L"),
+            "label": name,
+            "filename": name,
+        }
+
+
 def open_source(
     data_dir: str,
     config: str,
@@ -138,6 +181,8 @@ def open_source(
         if ":" in data_dir:
             length = int(data_dir.split(":", 1)[1])
         return SyntheticSource(split=split, length=length)
+    if os.path.isdir(os.path.join(data_dir, "VOC2012")):
+        return VOCSource(data_dir, split=split)
     if not os.path.isdir(os.path.join(data_dir, config)):
         print(
             f"[WARN] dataset not found at {data_dir}/{config}; "
