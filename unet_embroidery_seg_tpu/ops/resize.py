@@ -37,17 +37,38 @@ def _linear_coords(in_size: int, out_size: int, align_corners: bool):
     return idx0, idx1, w1
 
 
+def _interp_matrix(in_size: int, out_size: int, align_corners: bool) -> np.ndarray:
+    """Static (out, in) linear-interpolation matrix (2 nonzeros per row)."""
+    idx0, idx1, w1 = _linear_coords(in_size, out_size, align_corners)
+    m = np.zeros((out_size, in_size), np.float32)
+    rows = np.arange(out_size)
+    m[rows, idx0] += 1.0 - w1
+    m[rows, idx1] += w1
+    return m
+
+
 def _interp_axis(x: jax.Array, axis: int, out_size: int, align_corners: bool):
+    """1-D linear resize along `axis` as a static-matrix contraction.
+
+    A gather (`jnp.take`) forward costs ~4 ms for 64ch 256->512 on v5e and
+    its BACKWARD is a scatter-add (worse); contracting with the static
+    interpolation matrix runs on the MXU in both directions. The matrix has
+    2 nonzeros/row, so FLOPs are wasted, but MXU FLOPs are ~500x cheaper
+    than random HBM access here.
+    """
     in_size = x.shape[axis]
     if in_size == out_size:
         return x
-    idx0, idx1, w1 = _linear_coords(in_size, out_size, align_corners)
-    x0 = jnp.take(x, jnp.asarray(idx0), axis=axis)
-    x1 = jnp.take(x, jnp.asarray(idx1), axis=axis)
-    shape = [1] * x.ndim
-    shape[axis] = out_size
-    w1 = jnp.asarray(w1).reshape(shape).astype(x.dtype)
-    return x0 * (1 - w1) + x1 * w1
+    w = jnp.asarray(_interp_matrix(in_size, out_size, align_corners), x.dtype)
+    moved = jnp.moveaxis(x, axis, -1)
+    # f32 inputs keep exact weights; bf16 activations take one MXU pass with
+    # f32 accumulation (HIGHEST would triple the passes for <=0.2% of extra
+    # mantissa that bf16 AMP doesn't need).
+    precision = (
+        jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
+    )
+    out = jnp.einsum("...i,oi->...o", moved, w, precision=precision)
+    return jnp.moveaxis(out, -1, axis)
 
 
 def resize_bilinear(

@@ -121,6 +121,9 @@ def make_optimizer(
         chain.append(optax.scale_by_adam(b1=momentum, b2=0.999, eps=1e-8))
         chain.append(optax.scale(-1.0))
         chain.append(optax.scale(learning_rate))
+        # NOTE: optax.flatten was tried here to fuse the 176 per-tensor Adam
+        # fusions (12.7 ms/step) into one kernel — the ravel/unravel copies
+        # made the step 6 ms SLOWER on v5e. Keep the per-tensor update.
         return optax.chain(*chain)
 
     return optax.inject_hyperparams(_tx)(learning_rate=learning_rate)
