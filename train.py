@@ -516,9 +516,18 @@ def train(args):
             best_score = current_score
             best_epoch = epoch + 1
             best_val_metrics = metrics
-            checkpoint.save_state(best_model_path, state, extra={"epoch": epoch + 1})
+            # model-only, like the reference's best.pth state_dict
+            checkpoint.save_variables(best_model_path, state.variables)
             print(f"New best model saved with score: {best_score:.4f}")
-        checkpoint.save_state(last_model_path, state, extra={"epoch": epoch + 1})
+        checkpoint.save_variables(last_model_path, state.variables)
+        # Full TrainState (params + opt state + step) for true resume — the
+        # capability the reference lacks. Saved every --ckpt-every epochs
+        # because it is 3x the bytes (matters on slow host links).
+        if args.ckpt_every and (epoch + 1) % args.ckpt_every == 0:
+            checkpoint.save_state(
+                os.path.join(weights_folder, "resume.msgpack"),
+                state, extra={"epoch": epoch + 1},
+            )
 
     total_time = time.time() - start_time
     print(f"Training completed in {datetime.timedelta(seconds=int(total_time))}")
@@ -549,7 +558,7 @@ def train(args):
                            prefetch=2),
                 mesh, batch_size,
             )
-        state, _ = checkpoint.restore_state(best_model_path, state)
+        state = checkpoint.restore_variables_into_state(best_model_path, state)
         state = jax.device_put(state, replicate(mesh))
         test_metrics = run_eval(test_pipe, max_test_batches)
         with open(os.path.join(exp_folder, "test_metrics.json"), "w", encoding="utf-8") as f:
@@ -658,6 +667,10 @@ def parse_args(argv=None):
                              "(default: auto — on for TPU, off for CPU)")
     parser.add_argument("--scan-chunk", default=8, type=int,
                         help="Train steps per device dispatch on the resident path")
+    parser.add_argument("--ckpt-every", default=5, type=int,
+                        help="Save the full resume state (params+optimizer) "
+                             "every N epochs (0 = never); best/last stay "
+                             "model-only like the reference")
     parser.add_argument("--profile", action=_boolopt(), default=False,
                         help="Write an XLA trace of a few train steps to expN/trace")
     parser.add_argument("--profile-steps", default=4, type=int)

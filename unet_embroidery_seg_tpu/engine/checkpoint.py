@@ -83,6 +83,17 @@ def restore_state(path: str, state: TrainState) -> tuple[TrainState, dict]:
     return new_state, payload.get("extra", {})
 
 
+def restore_variables_into_state(path: str, state: TrainState) -> TrainState:
+    """Load a model-only checkpoint's params/batch_stats into a TrainState."""
+    import jax.numpy as jnp
+
+    payload = load_payload(path)
+    return state.replace(
+        params=jax.tree.map(jnp.asarray, payload["params"]),
+        batch_stats=jax.tree.map(jnp.asarray, payload.get("batch_stats", {})),
+    )
+
+
 def restore_flexible(path: str, variables: dict) -> tuple[dict, int, int]:
     """Shape-matched partial restore (model_factory.py:41-64 semantics)."""
     payload = load_payload(path)
