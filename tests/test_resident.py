@@ -55,6 +55,34 @@ class TestEpochIndexPlan:
         np.testing.assert_array_equal(idx[0], order[:4])
 
 
+class TestTrainChunkTPU:
+    """Full scanned train chunk — TPU only (XLA-CPU compiles this in ~5 min)."""
+
+    @pytest.mark.skipif(
+        jax.default_backend() not in ("tpu", "axon"),
+        reason="scanned conv backward too slow to compile on CPU",
+    )
+    def test_loss_decreases_over_chunks(self):
+        cache = CanvasCache(
+            SyntheticSource(split="train", length=16), (64, 64), verbose=False
+        )
+        data = resident.upload(cache)
+        model = build_model("unet_plain", num_classes=2)
+        variables = init_model(model, jax.random.PRNGKey(0), (64, 64))
+        tx = schedules.make_optimizer(1e-3)
+        state = TrainState.create(variables, tx)
+        train_step = steps.make_binary_train_step(model, tx, "bce", 5.0)
+        chunk = resident.make_train_chunk_fn(train_step, (64, 64), True, 2)
+        idx, maskp = resident.epoch_index_plan(16, 8, 0, True, 11)
+        steps_ids = np.arange(len(idx), dtype=np.int32)
+        losses = []
+        for _ in range(6):
+            state, ls = chunk(state, data, idx, maskp, steps_ids, jax.random.PRNGKey(1))
+            losses.append(float(np.asarray(ls).mean()))
+        assert losses[-1] < losses[0]
+        assert all(np.isfinite(losses))
+
+
 class TestEvalChunk:
     def test_matches_per_batch_eval(self):
         """Scanned resident eval == looped eval_step on the same batches."""
