@@ -1,9 +1,15 @@
-"""Paper-style CSV table generation from run/train experiments.
+"""Paper-table CSVs from run/train experiment folders.
 
-Parity target: /root/reference/scripts/make_tables.py — same CSV names,
-columns, grouping (best run per group by test IoU), the auto-picked best
-loss for Table 3-2, and the all_runs.csv debug dump. Pure filesystem-level
-logic; framework-agnostic by construction.
+Behavior contract (checked by tests/test_make_tables.py, mirroring what the
+reference pipeline consumes — /root/reference/scripts/make_tables.py):
+
+  table_3_1_loss_compare.csv   best run per loss on the loss-compare model
+  table_3_2_model_compare.csv  best run per model at the winning loss
+  table_4_2_ablation.csv       loss x attention (unet_plain vs attention_unet)
+  all_runs.csv                 every matching run, for debugging
+
+"Best" always means highest TEST IoU within the candidate group; the
+table 3-2 loss defaults to whichever loss won table 3-1.
 """
 
 from __future__ import annotations
@@ -11,206 +17,155 @@ from __future__ import annotations
 import argparse
 import csv
 import json
+from dataclasses import dataclass, field
 from pathlib import Path
 
-DEFAULT_METRIC_KEYS = ["Dice", "IoU", "Precision", "Recall", "Accuracy"]
+METRICS = ("Dice", "IoU", "Precision", "Recall", "Accuracy")
 
 
-def _read_json(path: Path):
-    with path.open("r", encoding="utf-8") as f:
-        return json.load(f)
+@dataclass
+class Run:
+    """One run/train/expN experiment, as the tables see it."""
+
+    name: str
+    config: dict
+    summary: dict
+    test: dict = field(default_factory=dict)
+
+    @property
+    def model(self) -> str | None:
+        return self.config.get("model")
+
+    @property
+    def loss(self) -> str | None:
+        return self.config.get("loss")
+
+    def test_iou(self) -> float:
+        v = self.test.get("IoU")
+        return float(v) if v is not None else float("-inf")
+
+    def metric_cells(self) -> dict:
+        return {k: self.test.get(k) for k in METRICS}
 
 
-def collect_runs(runs_dir: Path):
-    runs = []
-    for exp_dir in sorted(runs_dir.glob("exp*")):
-        config_path = exp_dir / "config.json"
-        summary_path = exp_dir / "summary.json"
-        if not config_path.exists() or not summary_path.exists():
+def load_runs(runs_dir: Path) -> list[Run]:
+    out = []
+    for exp in sorted(runs_dir.glob("exp*")):
+        try:
+            config = json.loads((exp / "config.json").read_text(encoding="utf-8"))
+            summary = json.loads((exp / "summary.json").read_text(encoding="utf-8"))
+        except (FileNotFoundError, json.JSONDecodeError):
             continue
-        config = _read_json(config_path)
-        summary = _read_json(summary_path)
-        test_metrics = summary.get("test_metrics")
-        if test_metrics is None:
-            test_path = exp_dir / "test_metrics.json"
-            if test_path.exists():
-                test_metrics = _read_json(test_path)
-        runs.append(
-            {
-                "exp_dir": str(exp_dir),
-                "exp_name": exp_dir.name,
-                "config": config,
-                "summary": summary,
-                "test_metrics": test_metrics or {},
-                "best_val_metrics": summary.get("best_val_metrics") or {},
-            }
-        )
-    return runs
+        test = summary.get("test_metrics")
+        if test is None:
+            tm = exp / "test_metrics.json"
+            test = json.loads(tm.read_text(encoding="utf-8")) if tm.exists() else {}
+        out.append(Run(exp.name, config, summary, test or {}))
+    return out
 
 
-def _best_by_metric(runs, metric_key: str):
-    best, best_val = None, None
-    for r in runs:
-        v = r.get("test_metrics", {}).get(metric_key)
-        if v is None:
-            continue
-        if best is None or float(v) > float(best_val):
-            best, best_val = r, v
-    return best
+def best(runs: list[Run]) -> Run | None:
+    scored = [r for r in runs if r.test.get("IoU") is not None]
+    return max(scored, key=Run.test_iou) if scored else None
 
 
-def _write_table_csv(path: Path, rows, fieldnames):
+def emit(path: Path, header: list[str], rows: list[dict]) -> None:
     path.parent.mkdir(parents=True, exist_ok=True)
     with path.open("w", newline="", encoding="utf-8") as f:
-        writer = csv.DictWriter(f, fieldnames=fieldnames)
-        writer.writeheader()
-        for row in rows:
-            writer.writerow(row)
+        w = csv.DictWriter(f, fieldnames=header)
+        w.writeheader()
+        w.writerows(rows)
 
 
-def main(argv=None):
-    parser = argparse.ArgumentParser(
-        description="Generate paper-style tables from run/train experiments."
-    )
-    parser.add_argument("--runs-dir", default="run/train")
-    parser.add_argument("--output-dir", default="run/tables")
-    parser.add_argument("--data-config", default="no-ai", choices=["no-ai", "full", "sam3"])
-    parser.add_argument("--task", default="binary", choices=["binary", "multiclass"])
-    parser.add_argument("--loss-compare-model", default="unet_resnet50")
-    parser.add_argument("--losses", default="bce,lovasz_hinge")
-    parser.add_argument(
-        "--models",
-        default="unet_plain,unet_resnet50,attention_unet,dualdense_unet",
-    )
-    parser.add_argument("--model-compare-loss", default="")
-    args = parser.parse_args(argv)
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description="Generate paper-style result tables")
+    p.add_argument("--runs-dir", default="run/train")
+    p.add_argument("--output-dir", default="run/tables")
+    p.add_argument("--data-config", default="no-ai", choices=["no-ai", "full", "sam3"])
+    p.add_argument("--task", default="binary", choices=["binary", "multiclass"])
+    p.add_argument("--loss-compare-model", default="unet_resnet50")
+    p.add_argument("--losses", default="bce,lovasz_hinge")
+    p.add_argument("--models",
+                   default="unet_plain,unet_resnet50,attention_unet,dualdense_unet")
+    p.add_argument("--model-compare-loss", default="")
+    args = p.parse_args(argv)
 
-    runs_dir = Path(args.runs_dir)
     out_dir = Path(args.output_dir)
-    runs = collect_runs(runs_dir)
+    losses = [x for x in args.losses.split(",") if x]
+    models = [x for x in args.models.split(",") if x]
 
-    def _match_base(r):
-        cfg = r["config"]
-        return cfg.get("data_config") == args.data_config and cfg.get("task") == args.task
-
-    base_runs = [r for r in runs if _match_base(r)]
-
-    # Table 3-1: loss compare
-    losses = [s.strip() for s in args.losses.split(",") if s.strip()]
-    loss_runs = [
-        r
-        for r in base_runs
-        if r["config"].get("model") == args.loss_compare_model
-        and r["config"].get("loss") in losses
+    pool = [
+        r for r in load_runs(Path(args.runs_dir))
+        if r.config.get("data_config") == args.data_config
+        and r.config.get("task") == args.task
     ]
-    table31 = []
-    for loss_name in losses:
-        candidates = [r for r in loss_runs if r["config"].get("loss") == loss_name]
-        best = _best_by_metric(candidates, "IoU")
-        if best is None:
-            continue
-        row = {"Loss": loss_name, "exp": best["exp_name"]}
-        for k in DEFAULT_METRIC_KEYS:
-            row[k] = best["test_metrics"].get(k)
-        table31.append(row)
-    _write_table_csv(
-        out_dir / "table_3_1_loss_compare.csv", table31, ["Loss", "exp", *DEFAULT_METRIC_KEYS]
-    )
 
-    # Auto-pick the best loss for Table 3-2 by test IoU.
-    model_compare_loss = args.model_compare_loss.strip()
-    if not model_compare_loss:
-        best_loss_run = _best_by_metric(loss_runs, "IoU")
-        model_compare_loss = (
-            best_loss_run["config"].get("loss")
-            if best_loss_run
-            else (losses[0] if losses else "")
-        )
-
-    # Table 3-2: model compare
-    models = [s.strip() for s in args.models.split(",") if s.strip()]
-    model_runs = [
-        r
-        for r in base_runs
-        if r["config"].get("loss") == model_compare_loss
-        and r["config"].get("model") in models
-    ]
-    table32 = []
-    for model_name in models:
-        candidates = [r for r in model_runs if r["config"].get("model") == model_name]
-        best = _best_by_metric(candidates, "IoU")
-        if best is None:
-            continue
-        row = {"Model": model_name, "Loss": model_compare_loss, "exp": best["exp_name"]}
-        for k in DEFAULT_METRIC_KEYS:
-            row[k] = best["test_metrics"].get(k)
-        table32.append(row)
-    _write_table_csv(
-        out_dir / "table_3_2_model_compare.csv",
-        table32,
-        ["Model", "Loss", "exp", *DEFAULT_METRIC_KEYS],
-    )
-
-    # Table 4-2: ablation (loss x attention on/off)
-    ablation_losses = losses if losses else ["bce", "lovasz_hinge"]
-    ablation_models = [("unet_plain", "no"), ("attention_unet", "yes")]
-    table42 = []
-    for loss_name in ablation_losses:
-        for model_name, attn_flag in ablation_models:
-            candidates = [
-                r
-                for r in base_runs
-                if r["config"].get("loss") == loss_name
-                and r["config"].get("model") == model_name
-            ]
-            best = _best_by_metric(candidates, "IoU")
-            if best is None:
-                continue
-            row = {
-                "Loss": loss_name,
-                "Attention": attn_flag,
-                "Model": model_name,
-                "exp": best["exp_name"],
-            }
-            for k in DEFAULT_METRIC_KEYS:
-                row[k] = best["test_metrics"].get(k)
-            table42.append(row)
-    _write_table_csv(
-        out_dir / "table_4_2_ablation.csv",
-        table42,
-        ["Loss", "Attention", "Model", "exp", *DEFAULT_METRIC_KEYS],
-    )
-
-    # all_runs.csv debug dump
-    all_rows = []
-    for r in base_runs:
-        cfg, sm = r["config"], r["summary"]
-        row = {
-            "exp": r["exp_name"],
-            "model": cfg.get("model"),
-            "loss": cfg.get("loss"),
-            "data_config": cfg.get("data_config"),
-            "task": cfg.get("task"),
-            "best_epoch": sm.get("best_epoch"),
-            "best_score": sm.get("best_score"),
-        }
-        for k in DEFAULT_METRIC_KEYS:
-            row[f"test_{k}"] = r["test_metrics"].get(k)
-        all_rows.append(row)
-    _write_table_csv(
-        out_dir / "all_runs.csv",
-        all_rows,
+    # --- 3-1: loss compare on the fixed model ---
+    loss_pool = [r for r in pool if r.model == args.loss_compare_model]
+    winners31 = {
+        name: best([r for r in loss_pool if r.loss == name]) for name in losses
+    }
+    emit(
+        out_dir / "table_3_1_loss_compare.csv",
+        ["Loss", "exp", *METRICS],
         [
-            "exp",
-            "model",
-            "loss",
-            "data_config",
-            "task",
-            "best_epoch",
-            "best_score",
-            *[f"test_{k}" for k in DEFAULT_METRIC_KEYS],
+            {"Loss": name, "exp": r.name, **r.metric_cells()}
+            for name, r in winners31.items()
+            if r is not None
         ],
     )
+
+    # --- 3-2: model compare at the winning loss ---
+    chosen_loss = args.model_compare_loss.strip()
+    if not chosen_loss:
+        overall = best([r for r in winners31.values() if r is not None])
+        chosen_loss = overall.loss if overall else (losses[0] if losses else "")
+    emit(
+        out_dir / "table_3_2_model_compare.csv",
+        ["Model", "Loss", "exp", *METRICS],
+        [
+            {"Model": m, "Loss": chosen_loss, "exp": r.name, **r.metric_cells()}
+            for m in models
+            if (r := best([x for x in pool if x.model == m and x.loss == chosen_loss]))
+        ],
+    )
+
+    # --- 4-2: ablation of attention gating across both losses ---
+    ablation_rows = []
+    for loss_name in (losses or ["bce", "lovasz_hinge"]):
+        for model_name, gated in (("unet_plain", "no"), ("attention_unet", "yes")):
+            r = best([x for x in pool if x.model == model_name and x.loss == loss_name])
+            if r is not None:
+                ablation_rows.append(
+                    {"Loss": loss_name, "Attention": gated, "Model": model_name,
+                     "exp": r.name, **r.metric_cells()}
+                )
+    emit(
+        out_dir / "table_4_2_ablation.csv",
+        ["Loss", "Attention", "Model", "exp", *METRICS],
+        ablation_rows,
+    )
+
+    # --- debug dump of every matching run ---
+    emit(
+        out_dir / "all_runs.csv",
+        ["exp", "model", "loss", "data_config", "task", "best_epoch", "best_score",
+         *[f"test_{k}" for k in METRICS]],
+        [
+            {
+                "exp": r.name,
+                "model": r.model,
+                "loss": r.loss,
+                "data_config": r.config.get("data_config"),
+                "task": r.config.get("task"),
+                "best_epoch": r.summary.get("best_epoch"),
+                "best_score": r.summary.get("best_score"),
+                **{f"test_{k}": r.test.get(k) for k in METRICS},
+            }
+            for r in pool
+        ],
+    )
+    print(f"[OK] tables written to {out_dir}")
 
 
 if __name__ == "__main__":

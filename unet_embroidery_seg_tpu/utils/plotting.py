@@ -1,8 +1,9 @@
-"""Training-curve plots (parity: /root/reference/utils/plot_results.py).
+"""Training-curve PNGs.
 
-Writes ``loss_curve.png`` and ``metrics_curve.png`` (dpi=300) into the
-weights folder, with the same metric-key priority list covering binary and
-multiclass metric sets, serif fonts, and a project-local MPLCONFIGDIR.
+Artifact contract (what run.sh / humans consume, mirroring the reference
+workflow): ``loss_curve.png`` and ``metrics_curve.png`` at dpi=300 inside
+the weights folder, covering whichever metric set (binary or multiclass)
+the run produced.
 """
 
 from __future__ import annotations
@@ -17,59 +18,48 @@ import matplotlib
 
 matplotlib.use("Agg")
 import matplotlib.pyplot as plt
-from matplotlib import rcParams
 
-rcParams["font.family"] = "serif"
-rcParams["font.serif"] = ["Times New Roman", "Times", "DejaVu Serif", "Liberation Serif"]
+plt.rcParams.update(
+    {
+        "font.family": "serif",
+        "font.serif": ["Times New Roman", "Times", "DejaVu Serif", "Liberation Serif"],
+    }
+)
 logging.getLogger("matplotlib.font_manager").setLevel(logging.ERROR)
 
-METRIC_KEYS_PRIORITY = [
-    "Dice",
-    "IoU",
-    "Precision",
-    "Recall",
-    "Accuracy",
-    "Pixel Accuracy",
-    "Mean Accuracy",
-    "Mean IoU",
-    "Frequency Weighted IoU",
-]
+_KNOWN_METRICS = (
+    "Dice", "IoU", "Precision", "Recall", "Accuracy",
+    "Pixel Accuracy", "Mean Accuracy", "Mean IoU", "Frequency Weighted IoU",
+)
+
+
+def _render(series: dict[str, list[float]], ylabel: str, path: str) -> None:
+    """One labeled multi-line chart -> PNG."""
+    fig, ax = plt.subplots(figsize=(8, 6))
+    for label, ys in series.items():
+        ax.plot(range(1, len(ys) + 1), ys, label=label, linewidth=2)
+    ax.set_xlabel("Epoch", fontsize=14)
+    ax.set_ylabel(ylabel, fontsize=14)
+    ax.tick_params(labelsize=12)
+    ax.grid(True, which="both", linestyle="--", alpha=0.5)
+    ax.legend(fontsize=12)
+    fig.tight_layout()
+    fig.savefig(path, dpi=300)
+    plt.close(fig)
 
 
 def plot_training_curves(train_losses, val_losses, val_metrics_history, weights_folder):
-    epochs = range(1, len(train_losses) + 1)
-
-    def _series(key):
-        return [float(m.get(key, 0.0)) for m in val_metrics_history]
-
-    metric_keys = [
-        k
-        for k in METRIC_KEYS_PRIORITY
+    _render(
+        {"Train Loss": list(train_losses), "Val Loss": list(val_losses)},
+        "Loss",
+        os.path.join(weights_folder, "loss_curve.png"),
+    )
+    present = [
+        k for k in _KNOWN_METRICS
         if val_metrics_history and k in val_metrics_history[0]
     ]
-
-    plt.figure(figsize=(8, 6))
-    plt.plot(epochs, train_losses, label="Train Loss", linewidth=2)
-    plt.plot(epochs, val_losses, label="Val Loss", linewidth=2)
-    plt.xlabel("Epoch", fontsize=14)
-    plt.ylabel("Loss", fontsize=14)
-    plt.xticks(fontsize=12)
-    plt.yticks(fontsize=12)
-    plt.grid(True, which="both", linestyle="--", alpha=0.5)
-    plt.legend(fontsize=12)
-    plt.tight_layout()
-    plt.savefig(os.path.join(weights_folder, "loss_curve.png"), dpi=300)
-    plt.close()
-
-    plt.figure(figsize=(8, 6))
-    for k in metric_keys:
-        plt.plot(epochs, _series(k), label=k, linewidth=2)
-    plt.xlabel("Epoch", fontsize=14)
-    plt.ylabel("Score", fontsize=14)
-    plt.xticks(fontsize=12)
-    plt.yticks(fontsize=12)
-    plt.grid(True, which="both", linestyle="--", alpha=0.5)
-    plt.legend(fontsize=12)
-    plt.tight_layout()
-    plt.savefig(os.path.join(weights_folder, "metrics_curve.png"), dpi=300)
-    plt.close()
+    _render(
+        {k: [float(m.get(k, 0.0)) for m in val_metrics_history] for k in present},
+        "Score",
+        os.path.join(weights_folder, "metrics_curve.png"),
+    )

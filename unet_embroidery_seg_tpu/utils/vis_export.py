@@ -1,8 +1,13 @@
-"""Qualitative 2x2 visualization grids (parity: /root/reference/utils/vis_export.py).
+"""Qualitative 2x2 prediction grids for a fixed-seed sample of the test set.
 
-Per sample: original / red GT / green prediction / 0.5-alpha overlay, with
-fixed-seed index sampling written to ``indices.json`` so different runs can
-be compared side-by-side.
+Artifact contract (reference workflow parity): ``vis/indices.json`` listing
+the sampled indices plus one ``NNNN_<stem>_grid.png`` per sample laid out as
+
+    [ original image | ground truth in red  ]
+    [ prediction in green | 0.5-alpha overlay ]
+
+Panels are assembled as one numpy block matrix; predictions come from the
+jitted forward (engine.steps.make_predict_fn) on the letterboxed input.
 """
 
 from __future__ import annotations
@@ -19,30 +24,24 @@ import jax.numpy as jnp
 from unet_embroidery_seg_tpu.data.augment import letterbox
 
 
-def _mask_to_rgb(mask01: np.ndarray, fg_color=(255, 0, 0)) -> np.ndarray:
-    mask01 = (mask01 > 0).astype(np.uint8)
-    h, w = mask01.shape
-    out = np.zeros((h, w, 3), dtype=np.uint8)
-    out[mask01 == 1] = np.array(fg_color, dtype=np.uint8)
-    return out
+def _tint(binary: np.ndarray, channel: int) -> np.ndarray:
+    """{0,1} mask -> RGB with the foreground painted on one channel."""
+    rgb = np.zeros(binary.shape + (3,), np.uint8)
+    rgb[..., channel] = np.where(binary > 0, 255, 0).astype(np.uint8)
+    return rgb
 
 
-def _make_grid(img_rgb, gt01, pred01, alpha: float = 0.5) -> Image.Image:
-    img = img_rgb.astype(np.uint8)
-    gt_rgb = _mask_to_rgb(gt01, fg_color=(255, 0, 0))
-    pred_rgb = _mask_to_rgb(pred01, fg_color=(0, 255, 0))
-    overlay = (
-        (img.astype(np.float32) * (1 - alpha) + pred_rgb.astype(np.float32) * alpha)
-        .clip(0, 255)
-        .astype(np.uint8)
-    )
-    h, w = img.shape[:2]
-    canvas = Image.new("RGB", (w * 2, h * 2))
-    canvas.paste(Image.fromarray(img), (0, 0))
-    canvas.paste(Image.fromarray(gt_rgb), (w, 0))
-    canvas.paste(Image.fromarray(pred_rgb), (0, h))
-    canvas.paste(Image.fromarray(overlay), (w, h))
-    return canvas
+def render_grid(image_u8: np.ndarray, gt01: np.ndarray, pred01: np.ndarray,
+                alpha: float = 0.5) -> np.ndarray:
+    """Assemble the 2x2 panel as one uint8 array."""
+    gt_panel = _tint(gt01, channel=0)  # red
+    pred_panel = _tint(pred01, channel=1)  # green
+    blend = np.clip(
+        image_u8 * (1.0 - alpha) + pred_panel * alpha, 0, 255
+    ).astype(np.uint8)
+    top = np.concatenate([image_u8, gt_panel], axis=1)
+    bottom = np.concatenate([pred_panel, blend], axis=1)
+    return np.concatenate([top, bottom], axis=0)
 
 
 def export_binary_visuals(
@@ -55,37 +54,30 @@ def export_binary_visuals(
     seed: int = 0,
     multitask: bool = False,
 ) -> None:
-    """Export 2x2 grids for ``num_samples`` fixed-seed test samples.
+    """Write grids for up to ``num_samples`` deterministically-chosen samples."""
+    folder = Path(out_dir)
+    folder.mkdir(parents=True, exist_ok=True)
 
-    ``predict_fn(variables, images)`` is a jitted forward (engine.steps.
-    make_predict_fn); ``source`` yields raw dicts with PIL image/mask.
-    """
-    out_path = Path(out_dir)
-    out_path.mkdir(parents=True, exist_ok=True)
+    k = min(num_samples, len(source))
+    chosen = random.Random(seed).sample(range(len(source)), k=k) if k else []
+    (folder / "indices.json").write_text(
+        json.dumps(chosen, ensure_ascii=False, indent=2), encoding="utf-8"
+    )
 
-    length = len(source)
-    num_samples = min(num_samples, length)
-    rng = random.Random(seed)
-    indices = rng.sample(range(length), k=num_samples) if num_samples > 0 else []
+    for idx in chosen:
+        record = source[idx]
+        img_pil, mask_pil = letterbox(record["image"], record["mask"], input_shape)
+        image_u8 = np.asarray(img_pil, np.uint8)
+        gt01 = (np.asarray(mask_pil) > 0).astype(np.uint8)
 
-    with (out_path / "indices.json").open("w", encoding="utf-8") as f:
-        json.dump(indices, f, ensure_ascii=False, indent=2)
-
-    for idx in indices:
-        sample = source[idx]
-        img_pil, mask_pil = letterbox(sample["image"], sample["mask"], input_shape)
-        img_np = np.array(img_pil, dtype=np.uint8)
-        gt = (np.array(mask_pil) > 0).astype(np.uint8)
-
-        img_in = jnp.asarray(img_np, jnp.float32)[None] / 255.0
-        logits = predict_fn(variables, img_in)
+        batch = jnp.asarray(image_u8, jnp.float32)[None] / 255.0
+        out = predict_fn(variables, batch)
         if multitask:
-            seg_logits, _ = logits
-            pred = np.asarray(seg_logits[0, ..., 0] > 0).astype(np.uint8)
+            pred01 = np.asarray(out[0][0, ..., 0] > 0, np.uint8)
         else:
-            pred = np.asarray(jnp.argmax(logits[0], axis=-1)).astype(np.uint8)
+            pred01 = np.asarray(jnp.argmax(out[0], axis=-1), np.uint8)
 
-        grid = _make_grid(img_np, gt, pred, alpha=0.5)
-        filename = sample.get("filename") or f"sample_{idx}"
-        save_name = f"{idx:04d}_{Path(filename).stem}_grid.png"
-        grid.save(out_path / save_name)
+        stem = Path(str(record.get("filename") or f"sample_{idx}")).stem
+        Image.fromarray(render_grid(image_u8, gt01, pred01)).save(
+            folder / f"{idx:04d}_{stem}_grid.png"
+        )
