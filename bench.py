@@ -37,7 +37,7 @@ def main() -> None:
     mesh = make_mesh()
     model = build_model("unet_resnet50", num_classes=2, dtype=jnp.bfloat16)
     variables = init_model(model, jax.random.PRNGKey(0), (size, size))
-    tx = schedules.make_optimizer(1e-4)
+    tx = schedules.make_train_optimizer(1e-4)
     state = TrainState.create(variables, tx)
     state = jax.device_put(state, replicate(mesh))
     train_step = steps.make_binary_train_step(model, tx, "bce", pos_weight=5.0)

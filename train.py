@@ -231,8 +231,11 @@ def train(args):
 
     # Optimizer + epoch-indexed LR schedule (reference clamps init LR to 1e-4).
     init_lr_fit, min_lr_fit = schedules.resolve_init_lrs(batch_size, init_lr=args.lr)
-    tx = schedules.make_optimizer(
-        init_lr_fit, momentum=args.momentum, weight_decay=args.weight_decay
+    tx = schedules.make_train_optimizer(
+        init_lr_fit,
+        momentum=args.momentum,
+        weight_decay=args.weight_decay,
+        param_dtype=jnp.bfloat16 if args.amp else jnp.float32,
     )
     lr_scheduler_func = schedules.get_lr_scheduler(
         "cos", init_lr_fit, min_lr_fit, train_epoch
@@ -306,6 +309,42 @@ def train(args):
     train_losses: list[float] = []
     val_losses: list[float] = []
     val_metrics_history: list[dict] = []
+
+    # True resume (the capability the reference lacks — its --weights restart
+    # loses optimizer state, epoch counter, and histories; SURVEY.md §5).
+    # Restores the full TrainState + epoch + best tracking + metric history;
+    # RNG needs nothing extra: every stream is derived from args.seed and the
+    # epoch counter (fold_in / epoch_index_plan), so continuing at epoch N
+    # reproduces the uninterrupted run exactly.
+    start_epoch = 0
+    if args.resume:
+        if not os.path.exists(args.resume):
+            raise FileNotFoundError(f"--resume checkpoint not found: {args.resume}")
+        state, extra = checkpoint.restore_state(args.resume, state)
+        state = jax.device_put(state, replicate(mesh))
+        start_epoch = int(extra.get("epoch", 0))
+        best_score = float(extra.get("best_score", -1.0))
+        best_epoch = extra.get("best_epoch")
+        best_val_metrics = extra.get("best_val_metrics")
+        train_losses = list(extra.get("train_losses", []))
+        val_losses = list(extra.get("val_losses", []))
+        val_metrics_history = list(extra.get("val_metrics_history", []))
+        if extra.get("seed") is not None and int(extra["seed"]) != args.seed:
+            print(
+                f"[WARN] resume checkpoint was trained with seed {extra['seed']}, "
+                f"current run uses {args.seed}; data order/augmentation will differ"
+            )
+        # Carry the previous run's best/last weights into this exp folder so
+        # the end-of-run test eval works even if no new best is found.
+        import shutil
+
+        for name, dst in (("best.msgpack", best_model_path),
+                          ("last.msgpack", last_model_path)):
+            src = os.path.join(os.path.dirname(args.resume), name)
+            if os.path.exists(src):
+                shutil.copyfile(src, dst)
+        print(f"[resume] restored {args.resume}: starting at epoch "
+              f"{start_epoch + 1}/{train_epoch}, best={best_score:.4f}")
 
     def run_train_epoch_resident(epoch: int, lr_now: float, mt_stats: dict):
         """Scan-chunked epoch over HBM-resident data; returns (loss_sum, steps)."""
@@ -494,7 +533,7 @@ def train(args):
         out["Loss"] = total_loss / seen
         return out
 
-    for epoch in range(train_epoch):
+    for epoch in range(start_epoch, train_epoch):
         loss = run_train_epoch(epoch)
         train_losses.append(loss)
 
@@ -526,7 +565,17 @@ def train(args):
         if args.ckpt_every and (epoch + 1) % args.ckpt_every == 0:
             checkpoint.save_state(
                 os.path.join(weights_folder, "resume.msgpack"),
-                state, extra={"epoch": epoch + 1},
+                state,
+                extra={
+                    "epoch": epoch + 1,
+                    "seed": args.seed,
+                    "best_score": best_score,
+                    "best_epoch": best_epoch,
+                    "best_val_metrics": best_val_metrics,
+                    "train_losses": train_losses,
+                    "val_losses": val_losses,
+                    "val_metrics_history": val_metrics_history,
+                },
             )
 
     total_time = time.time() - start_time
@@ -620,6 +669,12 @@ def parse_args(argv=None):
 
     parser.add_argument("--weights", default="",
                         help="Path to pretrained weights (msgpack checkpoint)")
+    parser.add_argument("--resume", default="",
+                        help="Path to a resume.msgpack full-state checkpoint: "
+                             "restores params, optimizer state, epoch counter, "
+                             "best tracking, and metric history (true resume — "
+                             "the reference's --weights restart loses all of "
+                             "those)")
     parser.add_argument("--data-path", default="./hf_datasets/merged_dataset_v2",
                         help="Path to HF dataset directory, or 'synthetic[:N]'")
     parser.add_argument("--data-config", default="no-ai", choices=["full", "no-ai", "sam3"],

@@ -27,11 +27,16 @@ class TrainState:
 
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
+        opt_state = tx.init(params)
+        if hasattr(tx, "cast_params"):
+            # FlatAdam: the f32 master lives in opt_state; the param tree is
+            # stored in the compute dtype (bf16) so apply() never casts.
+            params = tx.cast_params(params)
         return cls(
             step=jnp.zeros((), jnp.int32),
             params=params,
             batch_stats=batch_stats,
-            opt_state=tx.init(params),
+            opt_state=opt_state,
         )
 
     @property

@@ -43,10 +43,15 @@ def _apply_train(model, state: TrainState, images, rng):
 
 
 def _finish(state: TrainState, tx, grads, new_batch_stats) -> TrainState:
-    updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
-    import optax
+    if getattr(tx, "direct_update", False):
+        # FlatAdam path (ops/flat_adam.py): one fused update over flat f32
+        # arenas, producing the new compute-dtype param tree directly.
+        new_params, new_opt_state = tx.apply_grads(grads, state.opt_state)
+    else:
+        import optax
 
-    new_params = optax.apply_updates(state.params, updates)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
     return state.replace(
         step=state.step + 1,
         params=new_params,

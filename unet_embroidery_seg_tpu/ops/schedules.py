@@ -129,9 +129,51 @@ def make_optimizer(
     return optax.inject_hyperparams(_tx)(learning_rate=learning_rate)
 
 
+def make_train_optimizer(
+    learning_rate: float,
+    momentum: float = 0.9,
+    weight_decay: float = 1e-4,
+    param_dtype=None,
+    variant: str = "tree",
+):
+    """Direct-update Adam with bf16 param store — the training default.
+
+    Same torch-Adam semantics as ``make_optimizer`` (verified equivalent in
+    tests/test_flat_adam.py), but params are stored in the compute dtype so
+    ``model.apply`` never casts, and the f32 master lives in the optimizer
+    state. Two layouts, both measured on v5e (512² b8 unet_resnet50 step):
+
+      - ``tree`` (default, 64.1 ms): per-tensor update; XLA fuses each big
+        wgrad contraction with its tensor's Adam math in one pass.
+      - ``flat`` (68.6 ms): one f32 arena per moment; fewer kernels but the
+        wgrads must materialize for the gradient concat, losing the fusion.
+      - ``optax`` (63.5 ms): the f32-master optax chain (make_optimizer),
+        kept for comparison.
+    """
+    import jax.numpy as jnp
+
+    from unet_embroidery_seg_tpu.ops.flat_adam import FlatAdam, TreeAdam
+
+    if variant == "optax":
+        return make_optimizer(learning_rate, momentum, weight_decay)
+    cls = {"tree": TreeAdam, "flat": FlatAdam}[variant]
+    return cls(
+        learning_rate,
+        b1=momentum,
+        b2=0.999,
+        eps=1e-8,
+        weight_decay=weight_decay,
+        param_dtype=param_dtype if param_dtype is not None else jnp.bfloat16,
+    )
+
+
 def set_learning_rate(opt_state, lr: float):
     """Update the injected learning rate in-place-functionally (per epoch)."""
     import jax.numpy as jnp
 
+    from unet_embroidery_seg_tpu.ops.flat_adam import FlatAdamState, TreeAdamState
+
+    if isinstance(opt_state, (FlatAdamState, TreeAdamState)):
+        return opt_state.replace(learning_rate=jnp.asarray(lr, jnp.float32))
     opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, dtype=jnp.float32)
     return opt_state
