@@ -49,6 +49,33 @@ class TestBackbone:
         feats, _ = _init_and_apply(models.ResNet50Backbone(), x)
         assert [f.shape[1] for f in feats] == [50, 25, 13, 7, 4]
 
+    def test_packed_stem_equivalence(self):
+        """StemConv7x7 (space-to-depth lowering) == the direct 7x7 s2 conv.
+
+        Same param tree, so the same variables drive both lowerings.
+        """
+        from unet_embroidery_seg_tpu.models.blocks import StemConv7x7
+
+        rng = jax.random.PRNGKey(3)
+        x = jax.random.uniform(rng, (2, 64, 64, 3), jnp.float32)
+        stem = StemConv7x7(8)
+        variables = stem.init(rng, x)
+        packed = stem.apply(variables, x)
+        direct = jax.lax.conv_general_dilated(
+            x,
+            variables["params"]["kernel"],
+            (2, 2),
+            ((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        assert packed.shape == direct.shape == (2, 32, 32, 8)
+        np.testing.assert_allclose(
+            np.asarray(packed), np.asarray(direct), rtol=1e-5, atol=1e-5
+        )
+        # odd input falls back to the direct lowering
+        x_odd = jax.random.uniform(rng, (1, 33, 33, 3), jnp.float32)
+        assert stem.apply(variables, x_odd).shape == (1, 17, 17, 8)
+
 
 class TestModels:
     @pytest.mark.parametrize(

@@ -85,14 +85,25 @@ def resize_bilinear(
 def upsample2x(x: jax.Array, align_corners: bool = False) -> jax.Array:
     """2x bilinear upsampling of NHWC tensors.
 
-    Measured on v5e, the interpolation-matrix einsum is the fastest correct
-    lowering for the model's shapes; ops/pallas_upsample.py holds a
-    hand-written Pallas kernel for the same op (exact to 1e-7) that loses to
-    the einsum (~1.7 vs ~0.5 ms at 128ch@128^2 — per-tile DMA without double
-    buffering can't beat XLA's pipelined fusions), kept opt-in with the
-    benchmark numbers in its docstring.
+    Lowered as ONE joint 3-operand einsum over both spatial axes. Measured on
+    v5e at the model's hottest site (64ch 256^2->512^2, bf16, with a conv
+    consumer, fwd+bwd): joint 3.38 ms vs 5.22 ms for sequential per-axis
+    contractions — XLA picks contraction order and layouts jointly, removing
+    the 1.28 ms relayout copy the sequential form emitted between the H pass
+    and the consumer conv. Alternatives measured and rejected: per-parity
+    shifted-add interleave (8.7 ms — XLA materializes the interleave
+    transposes), per-axis moveaxis einsum (the previous default), and the
+    Pallas kernel in ops/pallas_upsample.py (per-tile DMA without double
+    buffering loses to the pipelined einsum fusions).
     """
     h, w = x.shape[-3], x.shape[-2]
+    if x.ndim == 4:
+        mh = jnp.asarray(_interp_matrix(h, 2 * h, align_corners), x.dtype)
+        mw = jnp.asarray(_interp_matrix(w, 2 * w, align_corners), x.dtype)
+        precision = (
+            jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
+        )
+        return jnp.einsum("nhwc,oh,pw->nopc", x, mh, mw, precision=precision)
     return resize_bilinear(x, (2 * h, 2 * w), align_corners=align_corners)
 
 
