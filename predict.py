@@ -36,8 +36,13 @@ VOC_COLORS = [
 
 
 def time_synchronized() -> float:
-    """Block until all dispatched device work finishes, then timestamp."""
-    jax.block_until_ready(jnp.zeros(()))
+    """Drain the device queue, then timestamp.
+
+    Fetches the VALUE of a fresh op enqueued behind all dispatched work —
+    ``block_until_ready`` alone returns early through the axon relay
+    (ROADMAP.md environment traps), but a host fetch cannot.
+    """
+    float(jnp.zeros(()) + 0.0)
     return time.time()
 
 
@@ -57,41 +62,43 @@ def load_model(model_name: str, model_path: str, num_classes: int, input_size: i
     return predict_fn, variables
 
 
-def detect_image(
-    file_path: str,
-    predict_fn,
-    variables: dict,
-    num_classes: int,
-    exp_folder: str,
-    input_size: int = 480,
-    mix_type: bool = True,
-):
+def load_and_letterbox(file_path: str, input_size: int):
+    """Open + letterbox one image; returns (x_f32_canvas, meta) or None.
+
+    Letterbox follows resize_image semantics (utils.py:24-36).
+    """
     try:
         image = Image.open(file_path)
     except (FileNotFoundError, IOError) as e:
         print(f"Error opening image: {e}")
-        return
-
+        return None
     image = image.convert("RGB")
-    old_img = image.copy()
-    input_shape = [input_size, input_size]
-    original_h, original_w = np.array(image).shape[:2]
-
-    # Letterbox (resize_image semantics: utils.py:24-36)
+    input_shape = (input_size, input_size)
     iw, ih = image.size
     scale = min(input_shape[1] / iw, input_shape[0] / ih)
     nw, nh = int(iw * scale), int(ih * scale)
     dummy_mask = Image.new("L", image.size, 0)
-    image_data, _ = letterbox(image, dummy_mask, tuple(input_shape))
+    image_data, _ = letterbox(image, dummy_mask, input_shape)
+    x = np.array(image_data, np.float32) / 255.0
+    meta = {"file_path": file_path, "image": image, "nw": nw, "nh": nh}
+    return x, meta
 
-    x = jnp.asarray(np.array(image_data, np.float32) / 255.0)[None]
-    logits = predict_fn(variables, x)[0]
-    pr = np.asarray(jax.nn.softmax(logits, axis=-1))
 
-    # Crop away the letterbox padding and resize back to the original size.
-    top = (input_shape[0] - nh) // 2
-    left = (input_shape[1] - nw) // 2
-    pr = pr[top : top + nh, left : left + nw]
+def save_mask(
+    pr_softmax: np.ndarray,
+    meta: dict,
+    num_classes: int,
+    exp_folder: str,
+    input_size: int,
+    mix_type: bool,
+):
+    """Un-pad crop -> resize to original -> argmax -> colorize -> save."""
+    old_img = meta["image"]
+    original_w, original_h = old_img.size
+    nw, nh = meta["nw"], meta["nh"]
+    top = (input_size - nh) // 2
+    left = (input_size - nw) // 2
+    pr = pr_softmax[top : top + nh, left : left + nw]
     pr = cv2.resize(pr, (original_w, original_h), interpolation=cv2.INTER_LINEAR)
     pr = pr.argmax(axis=-1)
 
@@ -107,11 +114,62 @@ def detect_image(
     else:
         out = Image.fromarray(np.uint8(seg_img))
 
-    img_name = os.path.basename(file_path)
+    img_name = os.path.basename(meta["file_path"])
     mask_filename = os.path.splitext(img_name)[0] + "_mask.png"
     save_path = os.path.join(exp_folder, mask_filename)
     out.save(save_path)
     print(f"Mask saved at: {save_path}")
+
+
+def detect_image(
+    file_path: str,
+    predict_fn,
+    variables: dict,
+    num_classes: int,
+    exp_folder: str,
+    input_size: int = 480,
+    mix_type: bool = True,
+):
+    prepared = load_and_letterbox(file_path, input_size)
+    if prepared is None:
+        return
+    x, meta = prepared
+    logits = predict_fn(variables, jnp.asarray(x)[None])[0]
+    pr = np.asarray(jax.nn.softmax(logits, axis=-1))
+    save_mask(pr, meta, num_classes, exp_folder, input_size, mix_type)
+
+
+def detect_batch(
+    file_paths: list[str],
+    batch: int,
+    predict_fn,
+    variables: dict,
+    num_classes: int,
+    exp_folder: str,
+    input_size: int = 480,
+    mix_type: bool = True,
+):
+    """Directory inference in fixed-size device batches.
+
+    One device round-trip per ``batch`` images instead of per image — on the
+    relayed TPU the per-dispatch RTT dominates single-image latency, so this
+    amortizes it (ROADMAP.md). The final chunk is padded to keep the jitted
+    shape static; padded rows are discarded on the host.
+    """
+    for start in range(0, len(file_paths), batch):
+        chunk = file_paths[start : start + batch]
+        prepared = [load_and_letterbox(p, input_size) for p in chunk]
+        prepared = [p for p in prepared if p is not None]
+        if not prepared:
+            continue
+        xs = np.stack([x for x, _ in prepared])
+        if len(prepared) < batch:  # pad to the static batch shape
+            pad = np.repeat(xs[-1:], batch - len(prepared), axis=0)
+            xs = np.concatenate([xs, pad], axis=0)
+        logits = predict_fn(variables, jnp.asarray(xs))
+        prs = np.asarray(jax.nn.softmax(logits, axis=-1))
+        for (x, meta), pr in zip(prepared, prs):
+            save_mask(pr, meta, num_classes, exp_folder, input_size, mix_type)
 
 
 def predict(args):
@@ -134,9 +192,21 @@ def predict(args):
     else:
         raise ValueError(f"Unsupported input path: {args.data_path}")
 
+    file_paths = [p for p in file_paths if p.endswith((".jpg", ".png", ".jpeg"))]
     t_start = time_synchronized()
-    for file_path in file_paths:
-        if file_path.endswith((".jpg", ".png", ".jpeg")):
+    if args.batch > 1 and len(file_paths) > 1:
+        detect_batch(
+            file_paths,
+            args.batch,
+            predict_fn,
+            variables,
+            num_classes,
+            exp_folder,
+            input_size=args.input_size,
+            mix_type=args.mix_type,
+        )
+    else:
+        for file_path in file_paths:
             detect_image(
                 file_path,
                 predict_fn,
@@ -167,6 +237,10 @@ def parse_args(argv=None):
                         action=argparse.BooleanOptionalAction,
                         help="Alpha-blend the mask over the original image")
     parser.add_argument("--amp", default=True, action=argparse.BooleanOptionalAction)
+    parser.add_argument("--batch", default=1, type=int,
+                        help="Directory inference batch size (amortizes the "
+                             "per-dispatch device RTT; 1 = reference-parity "
+                             "per-image loop)")
     return parser.parse_args(argv)
 
 

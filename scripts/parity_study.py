@@ -1,0 +1,115 @@
+"""Multi-seed accuracy parity study: torch reference vs this framework.
+
+Runs BOTH frameworks on the byte-identical synthetic parquet dataset
+(scripts/export_parity_dataset.py) for each (model, loss) config and seed,
+collects each run's ``test_metrics.json`` (same artifact contract on both
+sides: /root/reference/train.py:473-474), and writes mean±std per framework
+to PARITY_RESULTS.json.  Backs the load-bearing table in PARITY.md: the
+BASELINE.json ±0.5% target needs run-to-run spread quantified, not a single
+seed.
+
+Usage:
+    python scripts/parity_study.py --data /tmp/parity_ds --epochs 15 \
+        [--seeds 0 1 2] [--only ours|ref] [--configs plain_bce resnet_lovasz]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = "/root/reference"
+
+CONFIGS = {
+    "plain_bce": {"model": "unet_plain", "loss": "bce"},
+    "resnet_lovasz": {"model": "unet_resnet50", "loss": "lovasz_hinge"},
+}
+
+
+def newest_exp(root: str) -> str:
+    exps = glob.glob(os.path.join(root, "run", "train", "exp*"))
+    return max(exps, key=os.path.getmtime)
+
+
+def run_one(framework: str, cfg: dict, seed: int, args) -> dict:
+    cwd = REF if framework == "ref" else REPO
+    cmd = [
+        sys.executable, "train.py",
+        "--data-path", args.data, "--data-config", "no-ai",
+        "--task", "binary", "--model", cfg["model"], "--loss", cfg["loss"],
+        "--epochs", str(args.epochs), "--batch-size", "8",
+        "--input-size", str(args.input_size), "--seed", str(seed),
+        "--weights", "",
+    ]
+    if framework == "ref":
+        cmd += ["--device", "cpu", "--no-amp", "--workers", "0"]
+    else:
+        cmd += ["--device-augment", "--ckpt-every", "0"]
+    env = dict(os.environ)
+    env.setdefault("OMP_NUM_THREADS", "8")
+    print(f"[{framework}] {cfg['model']}+{cfg['loss']} seed={seed}", flush=True)
+    res = subprocess.run(cmd, cwd=cwd, env=env, capture_output=True, text=True)
+    if res.returncode != 0:
+        print(res.stdout[-3000:], res.stderr[-3000:], sep="\n", flush=True)
+        raise RuntimeError(f"{framework} run failed (rc={res.returncode})")
+    exp = newest_exp(cwd)
+    with open(os.path.join(exp, "test_metrics.json")) as f:
+        return json.load(f)
+
+
+def summarize(vals: list[float]) -> dict:
+    return {
+        "mean": round(statistics.mean(vals), 4),
+        "std": round(statistics.stdev(vals) if len(vals) > 1 else 0.0, 4),
+        "runs": [round(v, 4) for v in vals],
+    }
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data", default="/tmp/parity_ds")
+    p.add_argument("--epochs", type=int, default=15)
+    p.add_argument("--input-size", type=int, default=128)
+    p.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
+    p.add_argument("--only", choices=["ours", "ref"], default=None)
+    p.add_argument("--configs", nargs="+", default=list(CONFIGS),
+                   choices=list(CONFIGS))
+    p.add_argument("--out", default=os.path.join(REPO, "PARITY_RESULTS.json"))
+    args = p.parse_args()
+
+    results: dict = {}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            results = json.load(f)
+
+    for name in args.configs:
+        cfg = CONFIGS[name]
+        for framework in ("ref", "ours"):
+            if args.only and framework != args.only:
+                continue
+            key = f"{name}/{framework}"
+            per_metric: dict[str, list[float]] = {}
+            for seed in args.seeds:
+                tm = run_one(framework, cfg, seed, args)
+                for k in ("IoU", "Dice", "Precision", "Recall"):
+                    if k in tm:
+                        per_metric.setdefault(k, []).append(float(tm[k]))
+                print(f"  seed {seed}: {tm}", flush=True)
+            results[key] = {
+                "epochs": args.epochs, "input_size": args.input_size,
+                "seeds": args.seeds,
+                **{k: summarize(v) for k, v in per_metric.items()},
+            }
+            with open(args.out, "w") as f:
+                json.dump(results, f, indent=2)
+            print(f"[saved] {key}: {results[key]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -89,20 +89,6 @@ def estimate_pos_weight(train_dataset, n_samples: int) -> float | None:
     return None
 
 
-def estimate_pos_weight_from_cache(cache: CanvasCache, n_samples: int) -> float | None:
-    """Cache-path pos_weight: neg/pos over the letterboxed canvas masks."""
-    n = min(n_samples, len(cache))
-    idxs = np.linspace(0, len(cache) - 1, n, dtype=int)
-    masks = cache.masks[idxs] > 0
-    total_pos = int(masks.sum())
-    total_neg = int(masks.size - masks.sum())
-    if total_pos > 0:
-        pw = total_neg / total_pos
-        print(f"[pos_weight auto] neg/pos = {pw:.4f} (samples={n}, cached)")
-        return pw
-    return None
-
-
 class HostPipeline:
     """Reference-parity host augmentation feeding sharded device batches."""
 
@@ -247,12 +233,13 @@ def train(args):
     pos_weight = None
     if args.task == "binary" and args.loss == "bce" and args.pos_weight:
         if args.pos_weight == "auto":
-            if use_device_aug:
-                pos_weight = estimate_pos_weight_from_cache(
-                    train_cache, args.pos_weight_samples
-                )
-            else:
-                pos_weight = estimate_pos_weight(train_dataset, args.pos_weight_samples)
+            if train_dataset is None:
+                # Device path: estimate from host-AUGMENTED samples exactly
+                # like the reference (train.py:189-205). A canvas-cache
+                # estimate would count letterbox padding as negative and bias
+                # pos_weight upward for non-square images.
+                train_dataset = make_ds("train", True)
+            pos_weight = estimate_pos_weight(train_dataset, args.pos_weight_samples)
         else:
             pos_weight = float(args.pos_weight)
 

@@ -181,6 +181,41 @@ def make_multiclass_eval_step(
     return eval_step
 
 
+def make_multiclass_persample_eval_step(
+    model, num_classes: int, focal: bool = False, use_dice: bool = True
+) -> Callable:
+    """eval_step -> (loss_sum, metric_sums, n_valid) with PER-SAMPLE metrics.
+
+    Matches the reference val CLI's statistic (batch_size=1 loop,
+    /root/reference/val.py:50-59 + train_and_eval.py:480-495) at any batch
+    size: the caller divides summed metrics (and the sample-weighted loss
+    sum) by the summed n_valid.
+    """
+
+    @jax.jit
+    def eval_step(state, images, pngs, sample_mask):
+        outputs = model.apply(state.variables, images, train=False)
+
+        def per_sample_loss(lg, tg):
+            if focal:
+                loss = losses.focal_loss(lg[None], tg[None], num_classes=num_classes)
+            else:
+                loss = losses.ce_loss(lg[None], tg[None], num_classes=num_classes)
+            if use_dice:
+                onehot = jax.nn.one_hot(tg[None], num_classes + 1, dtype=jnp.float32)
+                loss = loss + losses.dice_loss(lg[None], onehot)
+            return loss
+
+        sm = sample_mask.astype(jnp.float32)
+        loss_sum = jnp.sum(jax.vmap(per_sample_loss)(outputs, pngs) * sm)
+        sums, n_valid = metrics.multiclass_per_sample_sums(
+            outputs, pngs, num_classes=num_classes, sample_mask=sample_mask
+        )
+        return loss_sum, sums, n_valid
+
+    return eval_step
+
+
 def make_multitask_train_step(
     model,
     tx,

@@ -195,11 +195,13 @@ def binary_segmentation_loss(
     if loss_name == "lovasz_hinge":
         if ignore_index is not None:
             valid = targets != ignore_index
-            # errors = 1 - logit*sign: setting label to the sign of the logit
-            # and zeroing the logit keeps static shapes while contributing a
-            # constant hinge error of 1 that the Lovasz gradient weights by
-            # ~0 when such pixels sort last; exact masking needs dynamic
-            # shapes, which the reference only uses with ignore_index=None.
+            # APPROXIMATE neutralization, and UNUSED on every current call
+            # path (binary callers always pass ignore_index=None, same as the
+            # reference): setting label to the sign of the logit and boosting
+            # the logit magnitude keeps static shapes while the constant
+            # hinge error sorts last and gets ~0 Lovasz gradient weight.
+            # Exact masking needs dynamic shapes. Anyone adding a caller with
+            # ignore_index should validate the approximation first.
             labels = jnp.where(valid, labels, (logits > 0).astype(jnp.float32))
             logits = jnp.where(valid, logits, jnp.sign(logits) * 1e3)
         return lovasz_hinge(logits, labels, sample_mask=sample_mask)

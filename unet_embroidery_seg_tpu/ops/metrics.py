@@ -152,6 +152,36 @@ def multiclass_batch_metrics(
     }
 
 
+def multiclass_per_sample_sums(
+    logits: jax.Array,
+    target: jax.Array,
+    num_classes: int,
+    sample_mask: jax.Array | None = None,
+) -> tuple[dict[str, jax.Array], jax.Array]:
+    """Per-SAMPLE multiclass metrics, summed over the batch's valid samples.
+
+    The reference val CLI evaluates with batch_size=1
+    (/root/reference/val.py:50-59) and averages the per-batch values of
+    train_and_eval.py:480-495 — i.e. a mean of PER-SAMPLE metrics. Averaging
+    per-batch values at batch size > 1 is a different statistic (class
+    presence is per batch, not per sample), so any batched evaluator that
+    wants the reference CLI's number must use these per-sample sums:
+    ``metric = sum_over_batches(sums) / sum_over_batches(n_valid)``.
+
+    Returns:
+        (dict of summed f32 scalars, n_valid f32 scalar).
+    """
+    per_sample = jax.vmap(
+        lambda lg, tg: multiclass_batch_metrics(lg[None], tg[None], num_classes)
+    )(logits, target)
+    if sample_mask is None:
+        sm = jnp.ones((target.shape[0],), jnp.float32)
+    else:
+        sm = sample_mask.astype(jnp.float32)
+    sums = {k: jnp.sum(v * sm) for k, v in per_sample.items()}
+    return sums, jnp.sum(sm)
+
+
 def multitask_seg_counts(
     seg_logits: jax.Array,
     seg_targets: jax.Array,

@@ -27,6 +27,64 @@ DATA_AXIS = "data"
 SPACE_AXIS = "space"
 
 
+def init_multihost(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> int:
+    """Join a multi-host (DCN) job; returns this host's process index.
+
+    Call ONCE, before any other JAX API, on every host of a TPU pod slice.
+    On Cloud TPU the three arguments are auto-detected from the metadata
+    server, so ``init_multihost()`` with no arguments is the normal call;
+    elsewhere pass them explicitly (or set JAX's standard env vars).
+
+    After this, ``jax.devices()`` is the GLOBAL device list, so
+    ``make_mesh()`` spans the pod: the ``data`` axis crosses DCN (gradient
+    all-reduce is bandwidth-light), while ``space`` should stay within a
+    host's ICI domain. Build per-host input batches and lift them with
+    ``global_batch_from_local``.
+
+    No-ops (returns 0) when the env provides no peers to coordinate with —
+    single-host runs, tests, and the bench driver all take that path.
+    """
+    import os
+
+    if coordinator_address is None and num_processes is None:
+        # Nothing configured and not on a multi-host TPU: stay single-process.
+        if not (
+            os.environ.get("JAX_COORDINATOR_ADDRESS")
+            or os.environ.get("COORDINATOR_ADDRESS")
+            or os.environ.get("TPU_WORKER_HOSTNAMES")
+        ):
+            return 0
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return jax.process_index()
+
+
+def global_batch_from_local(mesh: Mesh, *arrays):
+    """Assemble global sharded arrays from this process's local batch shards.
+
+    The multi-host twin of ``shard_batch_arrays``: each host loads only its
+    ``global_batch / num_processes`` slice and this stitches them into global
+    jax.Arrays without any cross-host data movement
+    (``jax.make_array_from_process_local_data``).
+    """
+    out = []
+    for a in arrays:
+        if a is None:
+            out.append(None)
+            continue
+        space_axis = 1 if a.ndim >= 3 else None
+        sharding = batch_sharding(mesh, a.ndim, space_axis)
+        out.append(jax.make_array_from_process_local_data(sharding, np.asarray(a)))
+    return tuple(out)
+
+
 def make_mesh(
     n_data: int | None = None,
     n_space: int = 1,

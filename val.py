@@ -157,23 +157,31 @@ def val(args):
         )
         return metrics
     else:
-        eval_step = steps.make_multiclass_eval_step(model, num_classes, use_dice=True)
+        # Per-SAMPLE metric sums at any batch size — the same statistic as the
+        # reference CLI's batch_size=1 loop (val.py:50-59 + per-batch-averaged
+        # metrics, train_and_eval.py:480-495), which batch-averaged values at
+        # bs>1 would NOT reproduce (class presence is per sample).
+        eval_step = steps.make_multiclass_persample_eval_step(
+            model, num_classes, use_dice=True
+        )
         sums: dict[str, float] = {}
-        total_loss, seen = 0.0, 0
+        loss_sum, n_total = 0.0, 0.0
         if use_resident:
-            (loss, m), seen = _resident_outs(eval_step, False)
-            total_loss = float(np.asarray(loss).sum())
+            (loss_sums, m, n_valid), _ = _resident_outs(eval_step, False)
+            loss_sum = float(np.asarray(loss_sums).sum())
+            n_total = float(np.asarray(n_valid).sum())
             sums = {k: float(np.asarray(v).sum()) for k, v in m.items()}
         else:
             for batch, n_valid in loader.epoch(0):
                 mask = (np.arange(batch.images.shape[0]) < n_valid).astype(np.float32)
-                loss, m = eval_step(state, batch.images, batch.pngs, mask)
-                total_loss += float(loss)
+                ls, m, nv = eval_step(state, batch.images, batch.pngs, mask)
+                loss_sum += float(ls)
+                n_total += float(nv)
                 for k, v in m.items():
                     sums[k] = sums.get(k, 0.0) + float(v)
-                seen += 1
-        metrics = {k: v / max(seen, 1) for k, v in sums.items()}
-        metrics["Loss"] = total_loss / max(seen, 1)
+        n_total = max(n_total, 1.0)
+        metrics = {k: v / n_total for k, v in sums.items()}
+        metrics["Loss"] = loss_sum / n_total
         print(metrics)
         return metrics
 
