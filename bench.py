@@ -75,7 +75,9 @@ def main() -> None:
     batches = [int(b) for b in os.environ.get("BENCH_BATCHES", "8,16").split(",")]
 
     mesh = make_mesh()
-    model = build_model("unet_resnet50", num_classes=2, dtype=jnp.bfloat16)
+    model = build_model(
+        "unet_resnet50", num_classes=2, dtype=jnp.bfloat16, diff_head=True
+    )
     tx = schedules.make_train_optimizer(1e-4)
     train_step = steps.make_binary_train_step(model, tx, "bce", pos_weight=5.0)
     step_rng = jax.random.PRNGKey(1)

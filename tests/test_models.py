@@ -127,6 +127,73 @@ class TestModels:
             models.build_model("nope", num_classes=2)
 
 
+class TestDiffHead:
+    """blocks.ClassHead diff mode: the binary-train fast head."""
+
+    def test_matches_channel_difference(self):
+        """Same params: diff output == logits[...,1] - logits[...,0]."""
+        std = models.build_model("unet_plain", num_classes=2)
+        fast = models.build_model("unet_plain", num_classes=2, diff_head=True)
+        x = jnp.asarray(np.random.RandomState(0).rand(2, 32, 32, 3), jnp.float32)
+        logits, variables = _init_and_apply(std, x)
+        diff = fast.apply(variables, x, train=False)
+        assert diff.shape == (2, 32, 32)
+        np.testing.assert_allclose(
+            np.asarray(diff),
+            np.asarray(logits[..., 1] - logits[..., 0]),
+            atol=1e-5, rtol=1e-5,
+        )
+
+    def test_param_trees_identical(self):
+        std = models.build_model("unet_resnet50", num_classes=2)
+        fast = models.build_model("unet_resnet50", num_classes=2, diff_head=True)
+        rng = jax.random.PRNGKey(3)
+        x = jnp.zeros((1, 64, 64, 3))
+        vs = std.init({"params": rng, "dropout": rng}, x, train=False)
+        vf = fast.init({"params": rng, "dropout": rng}, x, train=False)
+        ks = {tuple(k.split("/")) for k in _flat_keys(vs["params"])}
+        kf = {tuple(k.split("/")) for k in _flat_keys(vf["params"])}
+        assert ks == kf
+        for a, b in zip(jax.tree.leaves(vs["params"]), jax.tree.leaves(vf["params"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_binary_eval_step_counts_match(self):
+        """Diff-head eval step produces the same confusion counts and loss."""
+        from unet_embroidery_seg_tpu.engine import TrainState, steps
+        from unet_embroidery_seg_tpu.ops import schedules
+
+        std = models.build_model("unet_plain", num_classes=2)
+        fast = models.build_model("unet_plain", num_classes=2, diff_head=True)
+        x = jnp.asarray(np.random.RandomState(1).rand(4, 32, 32, 3), jnp.float32)
+        pngs = jnp.asarray(
+            (np.random.RandomState(2).rand(4, 32, 32) > 0.6).astype(np.int32)
+        )
+        mask = jnp.asarray(np.array([1, 1, 1, 0], np.float32))
+        _, variables = _init_and_apply(std, x)
+        tx = schedules.make_optimizer(1e-3)
+        state = TrainState.create(variables, tx)
+        loss_s, counts_s = steps.make_binary_eval_step(std, "bce")(
+            state, x, pngs, mask
+        )
+        state2 = TrainState.create(variables, tx)
+        loss_f, counts_f = steps.make_binary_eval_step(fast, "bce")(
+            state2, x, pngs, mask
+        )
+        np.testing.assert_array_equal(np.asarray(counts_s), np.asarray(counts_f))
+        assert abs(float(loss_s) - float(loss_f)) < 1e-5
+
+
+def _flat_keys(tree, prefix=""):
+    out = []
+    for k, v in tree.items():
+        p = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict):
+            out.extend(_flat_keys(v, p))
+        else:
+            out.append(p)
+    return out
+
+
 class TestParamCounts:
     """Pin total parameter counts against the torch reference models."""
 

@@ -61,7 +61,14 @@ def create_model_and_state(args, num_classes, rng, tx):
             args.model, num_classes=1, num_seg_classes=1, num_cls_classes=3, dtype=dtype
         )
     else:
-        model = build_model(args.model, num_classes=num_classes, dtype=dtype)
+        # Binary training uses the diff head (blocks.ClassHead): identical
+        # params, but the model emits the (N, H, W) logit difference the
+        # binary loss/metrics consume — skipping the 2-channel logits that
+        # cost ~3.6 ms/step at 512^2 b8 (T(2,128)-tiled head fwd/bwd).
+        model = build_model(
+            args.model, num_classes=num_classes, dtype=dtype,
+            diff_head=(args.task == "binary"),
+        )
     variables = init_model(model, rng, (args.input_size, args.input_size))
     if args.weights:
         if os.path.exists(args.weights):
@@ -601,7 +608,14 @@ def train(args):
             json.dump(test_metrics, f, ensure_ascii=False, indent=2)
 
         if args.task in ["binary", "multitask"] and args.export_vis:
-            predict_fn = steps.make_predict_fn(model)
+            vis_model = model
+            if getattr(model, "diff_head", False):
+                # Vis wants 2-channel softmax logits; same params, plain head.
+                vis_model = build_model(
+                    args.model, num_classes=num_classes,
+                    dtype=jnp.bfloat16 if args.amp else None,
+                )
+            predict_fn = steps.make_predict_fn(vis_model)
             export_binary_visuals(
                 predict_fn,
                 state.variables,

@@ -110,7 +110,10 @@ def make_binary_eval_step(
             ignore_index=ignore_index,
             sample_mask=sample_mask,
         )
-        pred = jnp.argmax(outputs, axis=-1)
+        if outputs.ndim == 3:  # diff_head model: argmax == (diff > 0)
+            pred = (outputs > 0).astype(jnp.int32)
+        else:
+            pred = jnp.argmax(outputs, axis=-1)
         counts = metrics.binary_confusion_counts(
             pred, pngs, ignore_index=ignore_index, sample_mask=sample_mask
         )

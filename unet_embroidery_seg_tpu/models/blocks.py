@@ -102,6 +102,43 @@ class StemConv7x7(nn.Module):
         )
 
 
+class ClassHead(nn.Module):
+    """1x1 class head, parameter-compatible with ``nn.Conv`` ('kernel' of
+    shape (1, 1, C, num_classes) + 'bias') so checkpoints interchange freely.
+
+    ``diff=True`` (binary training fast path): returns the LOGIT DIFFERENCE
+    ``logits[..., 1] - logits[..., 0]`` as an (N, H, W) array, computed as a
+    single matvec with (w1 - w0, b1 - b0). BCE, Lovasz-hinge, and the binary
+    confusion metrics only ever consume this difference
+    (losses.binary_logits_from_two_class), but materializing the 2-channel
+    tensor first costs ~3.6 ms/step at 512^2 b8 on v5e — XLA tiles the
+    2-channel minor dim at T(2,128), so the head's fwd (0.95 ms), dgrad
+    (1.79 ms) and wgrad (0.89 ms) all run far below bandwidth. The diff
+    matvec moves only the (N, H, W, C) input once each way (~1.3 ms total).
+    The subtraction happens on the f32 master params, so it is exact.
+    """
+
+    num_classes: int
+    diff: bool = False
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        c_in = x.shape[-1]
+        kernel = self.param("kernel", conv_init, (1, 1, c_in, self.num_classes))
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.num_classes,))
+        dtype = self.dtype or x.dtype
+        x = x.astype(dtype)
+        if self.diff:
+            if self.num_classes != 2:
+                raise ValueError("diff head requires num_classes == 2")
+            wd = (kernel[0, 0, :, 1] - kernel[0, 0, :, 0]).astype(dtype)
+            bd = (bias[1] - bias[0]).astype(dtype)
+            return jnp.einsum("nhwc,c->nhw", x, wd) + bd
+        w = kernel[0, 0].astype(dtype)
+        return jnp.einsum("nhwc,cd->nhwd", x, w) + bias.astype(dtype)
+
+
 class BatchNorm(nn.Module):
     """BatchNorm matching torch defaults (momentum 0.1, eps 1e-5).
 

@@ -36,23 +36,30 @@ def build_model(
     num_seg_classes: int = 1,
     num_cls_classes: int = 3,
     dtype: Any = None,
+    diff_head: bool = False,
 ) -> nn.Module:
     """Construct a model by registry name (model_factory.py:22-38).
 
     ``dtype`` is the compute dtype (pass jnp.bfloat16 for the AMP analogue);
-    parameters always stay float32.
+    parameters always stay float32. ``diff_head=True`` (binary training fast
+    path) makes the model return the binary logit difference (N, H, W)
+    instead of 2-channel logits — same parameters, see blocks.ClassHead.
     """
     if model_name not in SUPPORTED_MODELS:
         raise ValueError(
             f"Unsupported model: {model_name}. Supported: {sorted(SUPPORTED_MODELS.keys())}"
         )
     if model_name == "multitask_unet":
+        if diff_head:
+            raise ValueError("diff_head applies to binary single-task models only")
         return MultiTaskUNet(
             num_seg_classes=num_seg_classes,
             num_cls_classes=num_cls_classes,
             dtype=dtype,
         )
-    return SUPPORTED_MODELS[model_name](num_classes=num_classes, dtype=dtype)
+    return SUPPORTED_MODELS[model_name](
+        num_classes=num_classes, dtype=dtype, diff_head=diff_head
+    )
 
 
 def init_model(

@@ -8,13 +8,14 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from unet_embroidery_seg_tpu.models.blocks import DoubleConv, Down, UpAttn, conv_init
+from unet_embroidery_seg_tpu.models.blocks import ClassHead, DoubleConv, Down, UpAttn
 
 
 class AttentionUNet(nn.Module):
     num_classes: int = 2
     base_channels: int = 64
     dtype: jnp.dtype | None = None
+    diff_head: bool = False  # binary train fast path (ClassHead.diff)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -30,11 +31,9 @@ class AttentionUNet(nn.Module):
         x = UpAttn(c * 2, dtype=self.dtype, name="up3")(x, x2, train)
         x = UpAttn(c, dtype=self.dtype, name="up4")(x, x1, train)
 
-        logits = nn.Conv(
+        logits = ClassHead(
             self.num_classes,
-            (1, 1),
-            use_bias=True,
-            kernel_init=conv_init,
+            diff=self.diff_head,
             dtype=self.dtype,
             name="outc",
         )(x)

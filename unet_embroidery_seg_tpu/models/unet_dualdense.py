@@ -10,7 +10,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from unet_embroidery_seg_tpu.models.blocks import DenseConvBlock, UpDense, conv_init
+from unet_embroidery_seg_tpu.models.blocks import ClassHead, DenseConvBlock, UpDense
 from unet_embroidery_seg_tpu.ops.resize import max_pool
 
 
@@ -20,6 +20,7 @@ class DualDenseUNet(nn.Module):
     growth_rate: int = 32
     num_layers: int = 3
     dtype: jnp.dtype | None = None
+    diff_head: bool = False  # binary train fast path (ClassHead.diff)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -40,11 +41,9 @@ class DualDenseUNet(nn.Module):
         x = UpDense(c * 2, g, nl, dtype=self.dtype, name="up3")(x, x2, train)
         x = UpDense(c, g, nl, dtype=self.dtype, name="up4")(x, x1, train)
 
-        logits = nn.Conv(
+        logits = ClassHead(
             self.num_classes,
-            (1, 1),
-            use_bias=True,
-            kernel_init=conv_init,
+            diff=self.diff_head,
             dtype=self.dtype,
             name="outc",
         )(x)

@@ -10,13 +10,14 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from unet_embroidery_seg_tpu.models.blocks import FinalUpConv, UnetUpNoBN, conv_init
+from unet_embroidery_seg_tpu.models.blocks import ClassHead, FinalUpConv, UnetUpNoBN
 from unet_embroidery_seg_tpu.models.resnet_backbone import ResNet50Backbone
 
 
 class UNetResNet50(nn.Module):
     num_classes: int = 21  # VOC-legacy default, matching unet_resnet.py:47
     dtype: jnp.dtype | None = None
+    diff_head: bool = False  # binary train fast path (ClassHead.diff)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -39,11 +40,9 @@ class UNetResNet50(nn.Module):
         )
 
         up1 = FinalUpConv(out_filters[0], dtype=self.dtype, name="up_conv")(up1)
-        logits = nn.Conv(
+        logits = ClassHead(
             self.num_classes,
-            (1, 1),
-            use_bias=True,
-            kernel_init=conv_init,
+            diff=self.diff_head,
             dtype=self.dtype,
             name="final",
         )(up1)

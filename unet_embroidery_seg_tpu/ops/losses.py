@@ -24,7 +24,11 @@ def binary_logits_from_two_class(outputs: jax.Array) -> jax.Array:
 
     softmax(outputs)[..., 1] == sigmoid(outputs[..., 1] - outputs[..., 0]),
     mirroring the reference convention (train_and_eval.py:106-113) in NHWC.
+    A 3-dim input is an already-collapsed difference (a ``diff_head`` model,
+    blocks.ClassHead) and passes through unchanged.
     """
+    if outputs.ndim == 3:
+        return outputs
     if outputs.ndim != 4 or outputs.shape[-1] != 2:
         raise ValueError(f"Expected outputs shape (N,H,W,2), got {outputs.shape}")
     return outputs[..., 1] - outputs[..., 0]
