@@ -24,7 +24,16 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-REF = "/root/reference"
+# The mounted reference is read-only by policy; its train.py writes
+# run/train/exp* relative to cwd, so run an unmodified COPY from /tmp.
+REF = "/tmp/ref_copy"
+
+
+def ensure_ref_copy() -> None:
+    if not os.path.isdir(REF):
+        import shutil
+
+        shutil.copytree("/root/reference", REF)
 
 CONFIGS = {
     "plain_bce": {"model": "unet_plain", "loss": "bce"},
@@ -83,6 +92,7 @@ def main() -> None:
     p.add_argument("--out", default=os.path.join(REPO, "PARITY_RESULTS.json"))
     args = p.parse_args()
 
+    ensure_ref_copy()
     results: dict = {}
     if os.path.exists(args.out):
         with open(args.out) as f:

@@ -92,9 +92,10 @@ def upsample2x(x: jax.Array, align_corners: bool = False) -> jax.Array:
     the 1.28 ms relayout copy the sequential form emitted between the H pass
     and the consumer conv. Alternatives measured and rejected: per-parity
     shifted-add interleave (8.7 ms — XLA materializes the interleave
-    transposes), per-axis moveaxis einsum (the previous default), and the
-    Pallas kernel in ops/pallas_upsample.py (per-tile DMA without double
-    buffering loses to the pipelined einsum fusions).
+    transposes), per-axis moveaxis einsum (the previous default), and a
+    hand-written Pallas kernel (docs/negative-results/pallas_upsample.py:
+    per-tile DMA without double buffering loses to the pipelined einsum
+    fusions, 1.7 vs 0.5 ms at 128ch@128^2).
     """
     h, w = x.shape[-3], x.shape[-2]
     if x.ndim == 4:
