@@ -60,7 +60,6 @@ class TestBackbone:
         x = jax.random.uniform(rng, (2, 64, 64, 3), jnp.float32)
         stem = StemConv7x7(8)
         variables = stem.init(rng, x)
-        packed = stem.apply(variables, x)
         direct = jax.lax.conv_general_dilated(
             x,
             variables["params"]["kernel"],
@@ -68,10 +67,12 @@ class TestBackbone:
             ((3, 3), (3, 3)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
-        assert packed.shape == direct.shape == (2, 32, 32, 8)
-        np.testing.assert_allclose(
-            np.asarray(packed), np.asarray(direct), rtol=1e-5, atol=1e-5
-        )
+        for mode in ("packed", "im2col"):
+            got = StemConv7x7(8, mode=mode).apply(variables, x)
+            assert got.shape == direct.shape == (2, 32, 32, 8)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(direct), rtol=1e-5, atol=1e-5
+            )
         # odd input falls back to the direct lowering
         x_odd = jax.random.uniform(rng, (1, 33, 33, 3), jnp.float32)
         assert stem.apply(variables, x_odd).shape == (1, 17, 17, 8)

@@ -77,6 +77,7 @@ class StemConv7x7(nn.Module):
 
     features: int
     dtype: jnp.dtype | None = None
+    mode: str = "packed"  # "packed" | "im2col" | "direct"
 
     @nn.compact
     def __call__(self, x):
@@ -86,11 +87,26 @@ class StemConv7x7(nn.Module):
         x = x.astype(dtype)
         w = kernel.astype(dtype)
         n, h, wd, _ = x.shape
-        if h % 2 or wd % 2:
+        if h % 2 or wd % 2 or self.mode == "direct":
             return jax.lax.conv_general_dilated(
                 x, w, (2, 2), ((3, 3), (3, 3)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
+        if self.mode == "im2col":
+            # Materialized im2col + one GEMM: the 49 strided slices fuse
+            # into a single loop fusion and the contraction runs K=147 on
+            # the MXU instead of the channel-starved (C_in=3) conv emitter.
+            xp = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
+            cols = [
+                xp[:, ky : ky + h : 2, kx : kx + wd : 2, :]
+                for ky in range(7)
+                for kx in range(7)
+            ]
+            a = jnp.concatenate(cols, axis=-1)  # [n, h/2, w/2, 49*c_in]
+            return jnp.einsum(
+                "nhwk,kc->nhwc", a, w.reshape(49 * c_in, self.features),
+                preferred_element_type=jnp.float32,
+            ).astype(dtype)
         xp = x.reshape(n, h // 2, 2, wd // 2, 2, c_in)
         xp = xp.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, wd // 2, 4 * c_in)
         wpad = jnp.pad(w, ((1, 0), (1, 0), (0, 0), (0, 0)))  # a = 2q+dy-1 over [-1,7)

@@ -65,18 +65,22 @@ class ResNet50Backbone(nn.Module):
 
     dtype: jnp.dtype | None = None
     layers: tuple[int, ...] = (3, 4, 6, 3)
-    # Space-to-depth packed stem (StemConv7x7): wins in isolation on v5e
-    # (fwd 2.16->1.76 ms, wgrad 0.99->0.27 ms) but measured ~1.7 ms SLOWER
-    # inside the full train step (the packing transpose of the b8 512^2
-    # input doesn't fuse with the augmentation producer). Param tree is
-    # identical either way, so this can flip without breaking checkpoints.
-    packed_stem: bool = False
+    # Stem lowering (StemConv7x7 modes; param tree identical either way, so
+    # this can flip without breaking checkpoints):
+    #   "direct" = plain 7x7 s2 conv;
+    #   "packed" = space-to-depth 4x4 s1 (wins isolated — fwd 2.16->1.76 ms,
+    #     wgrad 0.99->0.27 — but ~1.7 ms SLOWER in the full step: the packing
+    #     transpose doesn't fuse with the augmentation producer);
+    #   "im2col" = materialized 49-slice im2col + one K=147 GEMM.
+    stem_mode: str = "direct"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         # Stem: conv7x7 s2 p3 (bias-free) -> BN -> ReLU = feat1.
-        if self.packed_stem:
-            x = StemConv7x7(64, dtype=self.dtype, name="conv1")(x)
+        if self.stem_mode != "direct":
+            x = StemConv7x7(
+                64, dtype=self.dtype, mode=self.stem_mode, name="conv1"
+            )(x)
         else:
             x = nn.Conv(
                 64,
