@@ -549,10 +549,12 @@ def train(args):
             best_score = current_score
             best_epoch = epoch + 1
             best_val_metrics = metrics
-            # model-only, like the reference's best.pth state_dict
-            checkpoint.save_variables(best_model_path, state.variables)
+            # model-only, like the reference's best.pth state_dict — saved
+            # from the f32 MASTER params (not the bf16 compute copies) so
+            # finetunes from best.msgpack start from unrounded weights.
+            checkpoint.save_variables(best_model_path, checkpoint.master_variables(state))
             print(f"New best model saved with score: {best_score:.4f}")
-        checkpoint.save_variables(last_model_path, state.variables)
+        checkpoint.save_variables(last_model_path, checkpoint.master_variables(state))
         # Full TrainState (params + opt state + step) for true resume — the
         # capability the reference lacks. Saved every --ckpt-every epochs
         # because it is 3x the bytes (matters on slow host links).

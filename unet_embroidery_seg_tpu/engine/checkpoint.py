@@ -42,6 +42,35 @@ def save_state(path: str, state: TrainState, extra: dict | None = None) -> None:
     os.replace(tmp, path)
 
 
+def master_variables(state: TrainState) -> dict:
+    """Model variables with the f32 MASTER params when the optimizer holds them.
+
+    Under AMP the TrainState params are the bf16 compute copies (TreeAdam /
+    FlatAdam keep the f32 masters inside ``opt_state``), so saving
+    ``state.variables`` would round best/last to bf16 — while the reference's
+    ``best.pth`` state_dict is f32 (/root/reference/train.py:376-383). This
+    slices the master tree out of the optimizer state so model-only
+    checkpoints stay f32 and ``--weights`` finetunes never start from rounded
+    weights. Falls back to ``state.variables`` when the optimizer keeps no
+    master (optax chains, no-amp runs where params == master dtype).
+    """
+    master = getattr(state.opt_state, "master", None)
+    if master is None:
+        return state.variables
+    if isinstance(master, jax.Array):
+        # FlatAdam: one flat f32 arena; slice it back into the param treedef
+        # (dtype is preserved — no cast to the bf16 compute dtype here).
+        from unet_embroidery_seg_tpu.ops.flat_adam import _unflatten
+
+        params = _unflatten(master, state.params)
+    else:
+        params = master  # TreeAdam: already a param-shaped f32 tree
+    v = {"params": params}
+    if state.batch_stats:
+        v["batch_stats"] = state.batch_stats
+    return v
+
+
 def save_variables(path: str, variables: dict) -> None:
     """Model-weights-only checkpoint (the ``state_dict()`` analogue)."""
     payload = {
@@ -84,13 +113,27 @@ def restore_state(path: str, state: TrainState) -> tuple[TrainState, dict]:
 
 
 def restore_variables_into_state(path: str, state: TrainState) -> TrainState:
-    """Load a model-only checkpoint's params/batch_stats into a TrainState."""
+    """Load a model-only checkpoint's params/batch_stats into a TrainState.
+
+    Leaves are cast to the template state's leaf dtypes (when the trees
+    match) so loading an f32 master checkpoint into a bf16-compute state
+    keeps the jitted eval step's compiled signature — otherwise the post-
+    training test eval would silently retrace to an f32 variant.
+    """
     import jax.numpy as jnp
+
+    def _like(template, loaded):
+        try:
+            return jax.tree.map(
+                lambda t, l: jnp.asarray(l, dtype=t.dtype), template, loaded
+            )
+        except (ValueError, TypeError):  # structure mismatch: flexible caller
+            return jax.tree.map(jnp.asarray, loaded)
 
     payload = load_payload(path)
     return state.replace(
-        params=jax.tree.map(jnp.asarray, payload["params"]),
-        batch_stats=jax.tree.map(jnp.asarray, payload.get("batch_stats", {})),
+        params=_like(state.params, payload["params"]),
+        batch_stats=_like(state.batch_stats, payload.get("batch_stats", {})),
     )
 
 

@@ -131,7 +131,10 @@ class ClassHead(nn.Module):
     2-channel minor dim at T(2,128), so the head's fwd (0.95 ms), dgrad
     (1.79 ms) and wgrad (0.89 ms) all run far below bandwidth. The diff
     matvec moves only the (N, H, W, C) input once each way (~1.3 ms total).
-    The subtraction happens on the f32 master params, so it is exact.
+    Under the AMP training default the stored params are bf16 compute copies
+    (TreeAdam keeps the f32 masters in opt_state), so the subtraction is
+    bf16-rounded — at most one ulp of the difference, far below the loss
+    noise floor; with ``--no-amp`` (f32 params) it is exact.
     """
 
     num_classes: int

@@ -207,7 +207,11 @@ def binary_segmentation_loss(
             # Exact masking needs dynamic shapes. Anyone adding a caller with
             # ignore_index should validate the approximation first.
             labels = jnp.where(valid, labels, (logits > 0).astype(jnp.float32))
-            logits = jnp.where(valid, logits, jnp.sign(logits) * 1e3)
+            # where (not sign*1e3): sign(0) == 0 would leave a zero-logit
+            # ignored pixel with hinge error 1 sorting mid-pack.
+            logits = jnp.where(
+                valid, logits, jnp.where(logits >= 0, 1e3, -1e3)
+            )
         return lovasz_hinge(logits, labels, sample_mask=sample_mask)
     raise ValueError(f"Unsupported loss_name: {loss_name}")
 

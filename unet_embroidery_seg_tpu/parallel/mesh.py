@@ -35,9 +35,15 @@ def init_multihost(
     """Join a multi-host (DCN) job; returns this host's process index.
 
     Call ONCE, before any other JAX API, on every host of a TPU pod slice.
-    On Cloud TPU the three arguments are auto-detected from the metadata
-    server, so ``init_multihost()`` with no arguments is the normal call;
-    elsewhere pass them explicitly (or set JAX's standard env vars).
+    Detection is env-var based: a no-arg call joins the job iff one of
+    ``TPU_WORKER_HOSTNAMES`` (set on Cloud TPU pod VMs),
+    ``JAX_COORDINATOR_ADDRESS``, or ``COORDINATOR_ADDRESS`` is present —
+    ``jax.distributed.initialize()`` then fills in the details (on Cloud TPU
+    from the worker-hostnames env / metadata). With none of those set, the
+    call is an explicit no-op rather than a blocking auto-probe, so
+    single-host runs, tests, and the bench driver never hang on a
+    coordinator that does not exist. Elsewhere (GPU/CPU clusters) pass the
+    three arguments explicitly.
 
     After this, ``jax.devices()`` is the GLOBAL device list, so
     ``make_mesh()`` spans the pod: the ``data`` axis crosses DCN (gradient
