@@ -8,6 +8,10 @@
 #      then scripts/make_tables.py renders the CSV tables.
 set -euo pipefail
 
+# CLIs live next to this script; artifacts (run/, caches) go to $PWD, so the
+# pipeline can run from any working directory.
+script_dir=$(cd "$(dirname "${BASH_SOURCE[0]}")" && pwd)
+
 show_help() {
   cat <<'USAGE'
 usage: bash run.sh [options]
@@ -19,6 +23,9 @@ usage: bash run.sh [options]
   --data-path DIR|synthetic          (default hf_datasets/merged_dataset_v2)
   --hf-repo ID  --hf-local-dir DIR
   --max-batches N                    cap train/val/test batches (smoke runs)
+  --max-stage N                      stop after stage N (1=loss compare,
+                                     2=+winner pick, 3=+model compare,
+                                     4=all; tables render for whatever ran)
   --model NAME                       override the loss-compare model
 
 outputs: run/train/exp*/ (weights, metrics, curves) and run/tables/*.csv
@@ -37,6 +44,7 @@ cfg_cache=".hf-cache/datasets"
 hf_repo="tari-tech/13803867589-unet-image-seg"
 hf_dir="hf_datasets/merged_dataset_v2"
 data_path="";        cap=0;               override_model=""
+max_stage=4
 
 while (( $# )); do
   case "$1" in
@@ -54,6 +62,7 @@ while (( $# )); do
     --hf-local-dir) hf_dir=$2;     shift 2 ;;
     --data-path)    data_path=$2;  shift 2 ;;
     --max-batches)  cap=$2;        shift 2 ;;
+    --max-stage)    max_stage=$2;  shift 2 ;;
     --model)        override_model=$2; shift 2 ;;
     -h|--help)      show_help; exit 0 ;;
     *) echo "unknown argument: $1" >&2; show_help; exit 1 ;;
@@ -94,7 +103,7 @@ newest_exp=""
 fit() { # fit MODEL LOSS — one training run; records newest_exp
   local model=$1 loss=$2
   banner "train: task=$cfg_task model=$model loss=$loss data=$cfg_data"
-  "$py" train.py \
+  "$py" "$script_dir/train.py" \
     --task "$cfg_task" --data-config "$cfg_data" --data-path "$data_path" \
     --model "$model" --loss "$loss" --weights "$cfg_weights" \
     --epochs "$cfg_epochs" --batch-size "$cfg_batch" --input-size "$cfg_size" \
@@ -124,31 +133,50 @@ fi
 
 compare_model=${override_model:-unet_resnet50}
 
+# Losses under comparison are task-dependent: bce/lovasz_hinge are
+# binary-only (train.py lowers them to CE for multiclass), so comparing
+# them on a multiclass run would train two identical CE runs and label
+# them as different losses in the tables.
+if [[ "$cfg_task" == multiclass ]]; then
+  loss_a=ce; loss_b=focal
+else
+  loss_a=bce; loss_b=lovasz_hinge
+fi
+
+render_tables() {
+  banner "tables"
+  "$py" "$script_dir/scripts/make_tables.py" --data-config "$cfg_data" --task "$cfg_task"
+  echo "pipeline complete: run/train/exp*/ + run/tables/"
+}
+
 # stage 1: loss comparison
-fit "$compare_model" bce
-val_bce=$(read_summary_field "$newest_exp" best_score)
-fit "$compare_model" lovasz_hinge
-val_lov=$(read_summary_field "$newest_exp" best_score)
-echo "val best_score: bce=$val_bce lovasz_hinge=$val_lov"
+fit "$compare_model" "$loss_a"
+val_a=$(read_summary_field "$newest_exp" best_score)
+fit "$compare_model" "$loss_b"
+val_b=$(read_summary_field "$newest_exp" best_score)
+echo "val best_score: $loss_a=$val_a $loss_b=$val_b"
+if (( max_stage < 2 )); then render_tables; exit 0; fi
 
 # stage 2: pick the winner by validation score
 winner=$(
-  "$py" -c "print('lovasz_hinge' if float('$val_lov') >= float('$val_bce') else 'bce')"
+  "$py" -c "print('$loss_b' if float('$val_b') >= float('$val_a') else '$loss_a')"
 )
 banner "best loss by val score: $winner"
+if (( max_stage < 3 )); then render_tables; exit 0; fi
 
 # stage 3: model comparison at the winning loss
 for m in unet_plain unet_resnet50 attention_unet dualdense_unet; do
   fit "$m" "$winner"
 done
+if (( max_stage < 4 )); then render_tables; exit 0; fi
 
 # stage 4: attention ablation across both losses
-for l in bce lovasz_hinge; do
+for l in "$loss_a" "$loss_b"; do
   for m in unet_plain attention_unet; do
     fit "$m" "$l"
   done
 done
 
 banner "tables"
-"$py" scripts/make_tables.py --data-config "$cfg_data" --task binary
+"$py" "$script_dir/scripts/make_tables.py" --data-config "$cfg_data" --task "$cfg_task"
 echo "pipeline complete: run/train/exp*/ + run/tables/"

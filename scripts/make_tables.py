@@ -20,7 +20,20 @@ import json
 from dataclasses import dataclass, field
 from pathlib import Path
 
-METRICS = ("Dice", "IoU", "Precision", "Recall", "Accuracy")
+# Task-dependent: binary runs report confusion-derived metrics keyed on
+# IoU; multiclass runs report the PA/MPA/mIoU/FWIoU family keyed on
+# "Mean IoU" (ops/metrics.py:147-152).
+METRICS_BY_TASK = {
+    "binary": ("Dice", "IoU", "Precision", "Recall", "Accuracy"),
+    "multiclass": ("Pixel Accuracy", "Mean Accuracy", "Mean IoU",
+                   "Frequency Weighted IoU"),
+}
+BEST_KEY_BY_TASK = {"binary": "IoU", "multiclass": "Mean IoU"}
+DEFAULT_LOSSES_BY_TASK = {"binary": "bce,lovasz_hinge", "multiclass": "ce,focal"}
+
+# Set by main() from --task; module-level so Run stays a plain dataclass.
+METRICS = METRICS_BY_TASK["binary"]
+BEST_KEY = BEST_KEY_BY_TASK["binary"]
 
 
 @dataclass
@@ -41,7 +54,7 @@ class Run:
         return self.config.get("loss")
 
     def test_iou(self) -> float:
-        v = self.test.get("IoU")
+        v = self.test.get(BEST_KEY)
         return float(v) if v is not None else float("-inf")
 
     def metric_cells(self) -> dict:
@@ -65,7 +78,7 @@ def load_runs(runs_dir: Path) -> list[Run]:
 
 
 def best(runs: list[Run]) -> Run | None:
-    scored = [r for r in runs if r.test.get("IoU") is not None]
+    scored = [r for r in runs if r.test.get(BEST_KEY) is not None]
     return max(scored, key=Run.test_iou) if scored else None
 
 
@@ -84,11 +97,18 @@ def main(argv=None) -> None:
     p.add_argument("--data-config", default="no-ai", choices=["no-ai", "full", "sam3"])
     p.add_argument("--task", default="binary", choices=["binary", "multiclass"])
     p.add_argument("--loss-compare-model", default="unet_resnet50")
-    p.add_argument("--losses", default="bce,lovasz_hinge")
+    p.add_argument("--losses", default="",
+                   help="comma list (default: the task's loss pair)")
     p.add_argument("--models",
                    default="unet_plain,unet_resnet50,attention_unet,dualdense_unet")
     p.add_argument("--model-compare-loss", default="")
     args = p.parse_args(argv)
+
+    global METRICS, BEST_KEY
+    METRICS = METRICS_BY_TASK[args.task]
+    BEST_KEY = BEST_KEY_BY_TASK[args.task]
+    if not args.losses:
+        args.losses = DEFAULT_LOSSES_BY_TASK[args.task]
 
     out_dir = Path(args.output_dir)
     losses = [x for x in args.losses.split(",") if x]

@@ -104,21 +104,42 @@ def main() -> None:
             if args.only and framework != args.only:
                 continue
             key = f"{name}/{framework}"
-            per_metric: dict[str, list[float]] = {}
+            entry = results.setdefault(key, {})
+            # Regime change (epochs/size) invalidates cached per-seed runs.
+            if (entry.get("epochs"), entry.get("input_size")) != (
+                args.epochs, args.input_size
+            ):
+                entry.clear()
+            entry.update(epochs=args.epochs, input_size=args.input_size)
+            by_seed = entry.setdefault("by_seed", {})
             for seed in args.seeds:
+                if str(seed) in by_seed:  # resumable: multi-hour ref legs
+                    print(f"[skip] {key} seed={seed} already done", flush=True)
+                    continue
                 tm = run_one(framework, cfg, seed, args)
-                for k in ("IoU", "Dice", "Precision", "Recall"):
-                    if k in tm:
-                        per_metric.setdefault(k, []).append(float(tm[k]))
+                by_seed[str(seed)] = {
+                    k: float(tm[k])
+                    for k in ("IoU", "Dice", "Precision", "Recall")
+                    if k in tm
+                }
                 print(f"  seed {seed}: {tm}", flush=True)
-            results[key] = {
-                "epochs": args.epochs, "input_size": args.input_size,
-                "seeds": args.seeds,
-                **{k: summarize(v) for k, v in per_metric.items()},
-            }
-            with open(args.out, "w") as f:
-                json.dump(results, f, indent=2)
-            print(f"[saved] {key}: {results[key]}", flush=True)
+                _write(args.out, results, entry, args.seeds)
+            _write(args.out, results, entry, args.seeds)
+            print(f"[saved] {key}: {entry}", flush=True)
+
+
+def _write(out: str, results: dict, entry: dict, seeds: list[int]) -> None:
+    """Refresh the mean±std summary from by_seed and persist everything."""
+    by_seed = entry.get("by_seed", {})
+    entry["seeds"] = [s for s in seeds if str(s) in by_seed]
+    metrics: dict[str, list[float]] = {}
+    for s in entry["seeds"]:
+        for k, v in by_seed[str(s)].items():
+            metrics.setdefault(k, []).append(v)
+    for k, vals in metrics.items():
+        entry[k] = summarize(vals)
+    with open(out, "w") as f:
+        json.dump(results, f, indent=2)
 
 
 if __name__ == "__main__":

@@ -256,6 +256,14 @@ def train(args):
 
     # Build jitted steps for the task.
     focal = args.loss == "focal"
+    if args.task == "multiclass" and args.loss in ("bce", "lovasz_hinge"):
+        # The reference lowers these silently (train.py keys only on
+        # 'focal'); be explicit so loss-comparison tables can't mislabel
+        # two identical CE runs as different losses.
+        print(
+            f"[WARN] --loss {args.loss} is binary-only; multiclass training "
+            f"uses ce (+dice) instead"
+        )
     if args.task == "binary":
         train_step = steps.make_binary_train_step(model, tx, args.loss, pos_weight)
         eval_step = steps.make_binary_eval_step(model, args.loss, pos_weight)
