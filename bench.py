@@ -8,14 +8,13 @@ train+predict @512^2"):
     reference's default model (/root/reference/train.py:552) at its training
     resolution — at batch 8 (headline), batch 16, AND with the CLI-default
     Lovasz-hinge loss (train.py --loss lovasz_hinge) at batch 8.
-  - predict: inference forward (steps.make_predict_fn, softmax on device —
-    what predict.py times at /root/reference/predict.py:134-145) at the
-    reference's hardcoded 480^2 and the training 512^2, single-image AND
-    batched. ``device_ms_per_image`` is the pure per-image device time
-    (two-loop method); ``e2e_ms_per_image`` additionally includes one
-    dispatch + full softmax fetch per call, i.e. what a predict.py user
-    sees — on this relayed host that number is dominated by the ~10 MB/s
-    host link, not the chip.
+  - predict: inference forward (steps.make_predict_fn semantics, softmax on
+    device — what predict.py times at /root/reference/predict.py:134-145)
+    at the reference's hardcoded 480^2 and the training 512^2, single-image
+    AND batched. ``device_ms_per_image`` is the pure per-image device time;
+    ``e2e_ms_per_image`` additionally includes one dispatch + full softmax
+    fetch per call, i.e. what a predict.py user sees — on this relayed host
+    that number is dominated by the ~10 MB/s host link, not the chip.
 
 Prints ONE JSON line. ``value`` is train b8 images/sec; the honest context
 rides along as extra keys: ms/step, model TF/s (FLOPs from XLA cost
@@ -23,55 +22,68 @@ analysis), % of this chip's matmul ceiling measured live (8k bf16 matmul),
 the b16/lovasz train rows, and the predict table. ``vs_baseline`` is vs the
 measured torch reference on this host (BASELINE_MEASURED.json; CPU-only —
 no CUDA GPU exists here — so it is a sanity floor; ``pct_of_matmul_peak``
-is the quality bar). Env knobs: BENCH_SIZE, BENCH_STEPS, BENCH_BATCHES,
-BENCH_PREDICT=0 / BENCH_LOVASZ=0 to skip sections.
+is the quality bar).
+
+Robustness (round 3): the remote compile service this environment relays to
+intermittently hard-kills processes during large compiles, so the default
+entry point is a pure-Python SUPERVISOR that runs each measurement as a
+retried subprocess (``BENCH_SECTION=<spec> python bench.py``); a flaky
+compile costs one section retry, not the whole benchmark. Timing is by
+CHAINED DISPATCH of the bare jitted step (two call-counts, subtracted) —
+the same executable real training runs, warm in the persistent compile
+cache — instead of jitted ``fori_loop`` mega-graphs (10+ min cold compiles
+through the relay). Env knobs: BENCH_SIZE, BENCH_STEPS, BENCH_BATCHES,
+BENCH_PREDICT=0 / BENCH_LOVASZ=0 to skip sections, BENCH_RETRIES,
+BENCH_SECTION_TIMEOUT.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 
-def _timed_loop(fn, args, n_long: int, n_short: int) -> float:
-    """Per-step seconds via two loop lengths so dispatch/RTT cancels.
+def _progress(msg: str) -> None:
+    """Markers on stderr (stdout stays machine-readable JSON)."""
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
-    Completion is forced by FETCHING the result value — block_until_ready
-    alone returns early on relayed backends (ROADMAP.md environment traps).
+
+def _timed_chain(step, fetch, k_long: int, k_short: int) -> float:
+    """Per-step seconds by timing two chained-dispatch counts and subtracting.
+
+    ``step()`` enqueues one executable run (each call's input is the previous
+    call's output, so the device must execute every one); ``fetch(last)``
+    forces completion by FETCHING a value — block_until_ready alone returns
+    early on relayed backends (ROADMAP.md environment traps). The pipeline
+    fill + final-fetch RTT is a fixed tail that cancels in the subtraction.
     """
+    fetch(step())  # compile + warmup; drains the queue
     times = {}
-    for n in (n_short, n_long):
-        loop = fn(n)
-        float(loop(*args)[1])  # compile + warmup
+    for k in (k_short, k_long):
         t0 = time.perf_counter()
-        float(loop(*args)[1])
-        times[n] = time.perf_counter() - t0
-    return (times[n_long] - times[n_short]) / (n_long - n_short)
+        last = None
+        for _ in range(k):
+            last = step()
+        fetch(last)
+        times[k] = time.perf_counter() - t0
+    return (times[k_long] - times[k_short]) / (k_long - k_short)
 
 
-def _matmul_ceiling_tflops(jax, jnp) -> float:
-    """Measured bf16 matmul peak on this chip (8192^3, the MXU's best case)."""
-    n = 8192
-    a = jnp.ones((n, n), jnp.bfloat16)
-    b = jnp.ones((n, n), jnp.bfloat16)
-
-    def make(steps):
-        @jax.jit
-        def loop(a, b):
-            def body(_, c):
-                return jnp.tanh(c @ b)  # tanh breaks trivial CSE, cheap on VPU
-
-            out = jax.lax.fori_loop(0, steps, body, a)
-            return out, out[0, 0]
-
-        return loop
-
-    per_step = _timed_loop(make, (a, b), 24, 6)
-    return 2 * n**3 / per_step / 1e12
+# --------------------------------------------------------------------------
+# Section workers (each runs in its own subprocess under the supervisor)
+# --------------------------------------------------------------------------
 
 
-def main() -> None:
+def _knobs():
+    size = int(os.environ.get("BENCH_SIZE", "512"))
+    n_steps = int(os.environ.get("BENCH_STEPS", "20"))
+    return size, n_steps, max(n_steps // 4, 1)
+
+
+def _train_section(batch: int, loss_name: str) -> dict:
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -79,155 +91,200 @@ def main() -> None:
     from unet_embroidery_seg_tpu.engine import TrainState, steps
     from unet_embroidery_seg_tpu.models import build_model, init_model
     from unet_embroidery_seg_tpu.ops import schedules
-    from unet_embroidery_seg_tpu.parallel import make_mesh, replicate, shard_batch_arrays
+    from unet_embroidery_seg_tpu.parallel import (
+        make_mesh, replicate, shard_batch_arrays,
+    )
 
-    size = int(os.environ.get("BENCH_SIZE", "512"))
-    n_steps = int(os.environ.get("BENCH_STEPS", "20"))
-    batches = [int(b) for b in os.environ.get("BENCH_BATCHES", "8,16").split(",")]
-
+    size, k_long, k_short = _knobs()
     mesh = make_mesh()
     model = build_model(
         "unet_resnet50", num_classes=2, dtype=jnp.bfloat16, diff_head=True
     )
     tx = schedules.make_train_optimizer(1e-4)
-    train_step = steps.make_binary_train_step(model, tx, "bce", pos_weight=5.0)
+    pos_weight = 5.0 if loss_name == "bce" else None
+    train_step = steps.make_binary_train_step(model, tx, loss_name, pos_weight)
     step_rng = jax.random.PRNGKey(1)
 
-    results = {}
-    for batch in batches:
-        variables = init_model(model, jax.random.PRNGKey(0), (size, size))
-        state = jax.device_put(TrainState.create(variables, tx), replicate(mesh))
-        rng = np.random.RandomState(0)
-        images = rng.rand(batch, size, size, 3).astype(np.float32)
-        pngs = (rng.rand(batch, size, size) > 0.7).astype(np.int32)
-        sample_mask = np.ones(batch, np.float32)
-        images, pngs, sample_mask = shard_batch_arrays(mesh, images, pngs, sample_mask)
+    variables = init_model(model, jax.random.PRNGKey(0), (size, size))
+    state = jax.device_put(TrainState.create(variables, tx), replicate(mesh))
+    rng = np.random.RandomState(0)
+    images, pngs, sample_mask = shard_batch_arrays(
+        mesh,
+        rng.rand(batch, size, size, 3).astype(np.float32),
+        (rng.rand(batch, size, size) > 0.7).astype(np.int32),
+        np.ones(batch, np.float32),
+    )
 
-        def make_loop(n):
-            @jax.jit
-            def loop(state, images, pngs, sample_mask, step_rng):
-                def body(_, carry):
-                    st, _loss = carry
-                    return train_step(st, images, pngs, sample_mask, step_rng)
+    box = [state]
 
-                return jax.lax.fori_loop(0, n, body, (state, jnp.zeros(())))
+    def step():
+        st, loss = train_step(box[0], images, pngs, sample_mask, step_rng)
+        box[0] = st
+        return loss
 
-            return loop
+    per_step = _timed_chain(step, float, k_long, k_short)
 
-        per_step = _timed_loop(
-            make_loop, (state, images, pngs, sample_mask, step_rng),
-            n_steps, max(n_steps // 4, 1),
-        )
-
-        # Model FLOPs per step from XLA's own cost analysis of ONE step.
-        # None (not NaN) on failure so the output stays strict JSON.
+    # Model FLOPs from XLA's own cost analysis of ONE step. None (not NaN)
+    # on failure so the output stays strict JSON.
+    flops = None
+    if loss_name == "bce":
         try:
             one = train_step.lower(
-                state, images, pngs, sample_mask, step_rng
+                box[0], images, pngs, sample_mask, step_rng
             ).compile()
             flops = float(one.cost_analysis()["flops"])
         except Exception:
             flops = None
 
-        results[batch] = {
-            "images_per_sec": round(batch / per_step, 2),
-            "ms_per_step": round(per_step * 1e3, 2),
-            "model_tflops_per_sec": (
-                round(flops / per_step / 1e12, 1) if flops else None
-            ),
-        }
-        del state
+    out = {
+        "images_per_sec": round(batch / per_step, 2),
+        "ms_per_step": round(per_step * 1e3, 2),
+    }
+    if loss_name == "bce":
+        out["model_tflops_per_sec"] = (
+            round(flops / per_step / 1e12, 1) if flops else None
+        )
+    return out
 
-    # --- Lovasz-hinge train row (the train.py CLI default loss) ------------
+
+def _predict_section(psize: int, pb: int) -> dict:
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from unet_embroidery_seg_tpu.models import build_model, init_model
+
+    _, k_long, k_short = _knobs()
+    pred_model = build_model("unet_resnet50", num_classes=2, dtype=jnp.bfloat16)
+    variables = init_model(pred_model, jax.random.PRNGKey(0), (psize, psize))
+
+    @jax.jit
+    def pred_chain(variables, x):
+        logits = pred_model.apply(variables, x, train=False)
+        # softmax on device (predict.py computes it before the fetch); feed
+        # a zero of it back so successive dispatches chain on each other.
+        p = jax.nn.softmax(logits, axis=-1)
+        return x + (p.mean() * 0.0).astype(x.dtype)
+
+    x0 = np.random.RandomState(0).rand(pb, psize, psize, 3).astype(np.float32)
+    xbox = [jax.device_put(x0)]
+
+    def pstep():
+        xbox[0] = pred_chain(variables, xbox[0])
+        return xbox[0]
+
+    per_img = _timed_chain(
+        pstep, lambda y: float(y[0, 0, 0, 0]), k_long, k_short
+    ) / pb
+
+    row = {
+        "device_ms_per_image": round(per_img * 1e3, 2),
+        "images_per_sec": round(1.0 / per_img, 1),
+    }
+    if pb == 1:
+        # End-to-end per-image wall time, reference predict.py style: one
+        # dispatch + full softmax fetch per image (host-link bound here).
+        pfn = jax.jit(
+            lambda v, x: jax.nn.softmax(
+                pred_model.apply(v, x, train=False), axis=-1
+            )
+        )
+        np.asarray(pfn(variables, xbox[0]))  # compile + warmup
+        reps = 5
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            np.asarray(pfn(variables, xbox[0]))
+        row["e2e_ms_per_image"] = round((time.perf_counter() - t0) / reps * 1e3, 1)
+    return row
+
+
+def _ceiling_section() -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    n = 8192
+    b = jnp.ones((n, n), jnp.bfloat16)
+    c = [jnp.ones((n, n), jnp.bfloat16)]
+
+    @jax.jit
+    def mm(c, b):
+        return jnp.tanh(c @ b)  # tanh breaks trivial CSE, cheap on VPU
+
+    def step():
+        c[0] = mm(c[0], b)
+        return c[0]
+
+    per_step = _timed_chain(step, lambda y: float(y[0, 0]), 24, 6)
+    return {"matmul_ceiling_tflops": round(2 * n**3 / per_step / 1e12, 1)}
+
+
+def run_section(spec: str) -> dict:
+    kind, *args = spec.split(":")
+    if kind == "train":
+        return _train_section(int(args[0]), args[1])
+    if kind == "predict":
+        return _predict_section(int(args[0]), int(args[1]))
+    if kind == "ceiling":
+        return _ceiling_section()
+    raise ValueError(f"unknown section {spec!r}")
+
+
+# --------------------------------------------------------------------------
+# Supervisor (pure Python — never touches the TPU, so it cannot be killed
+# by the relay; assembles the one-line JSON from per-section subprocesses)
+# --------------------------------------------------------------------------
+
+
+def _run_sub(spec: str) -> dict | None:
+    retries = int(os.environ.get("BENCH_RETRIES", "3"))
+    timeout = float(os.environ.get("BENCH_SECTION_TIMEOUT", "1500"))
+    env = dict(os.environ, BENCH_SECTION=spec)
+    for attempt in range(1, retries + 1):
+        _progress(f"section {spec} (attempt {attempt}/{retries})")
+        try:
+            # Each section runs in its OWN session: the relay pool kills the
+            # whole session of a client it times out mid-compile (observed:
+            # supervisor + child both SIGKILLed with no traceback), so the
+            # child must not share the supervisor's.
+            res = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, timeout=timeout,
+                start_new_session=True,
+            )
+        except subprocess.TimeoutExpired:
+            _progress(f"section {spec}: timeout after {timeout}s")
+            continue
+        lines = [l for l in res.stdout.strip().splitlines() if l.strip()]
+        if res.returncode == 0 and lines:
+            try:
+                return json.loads(lines[-1])
+            except json.JSONDecodeError:
+                pass
+        _progress(
+            f"section {spec}: rc={res.returncode} "
+            f"stderr_tail={res.stderr.strip()[-300:]!r}"
+        )
+    return None
+
+
+def supervise() -> None:
+    size = int(os.environ.get("BENCH_SIZE", "512"))
+    batches = [int(b) for b in os.environ.get("BENCH_BATCHES", "8,16").split(",")]
+    b0 = batches[0]
+
+    results = {b: _run_sub(f"train:{b}:bce") for b in batches}
     lovasz = None
     if os.environ.get("BENCH_LOVASZ", "1") != "0":
-        b = batches[0]
-        lovasz_step = steps.make_binary_train_step(model, tx, "lovasz_hinge", None)
-        variables = init_model(model, jax.random.PRNGKey(0), (size, size))
-        state = jax.device_put(TrainState.create(variables, tx), replicate(mesh))
-        rng = np.random.RandomState(0)
-        images = rng.rand(b, size, size, 3).astype(np.float32)
-        pngs = (rng.rand(b, size, size) > 0.7).astype(np.int32)
-        sample_mask = np.ones(b, np.float32)
-        images, pngs, sample_mask = shard_batch_arrays(mesh, images, pngs, sample_mask)
-
-        def make_lovasz_loop(n):
-            @jax.jit
-            def loop(state, images, pngs, sample_mask, step_rng):
-                def body(_, carry):
-                    st, _loss = carry
-                    return lovasz_step(st, images, pngs, sample_mask, step_rng)
-
-                return jax.lax.fori_loop(0, n, body, (state, jnp.zeros(())))
-
-            return loop
-
-        per_step = _timed_loop(
-            make_lovasz_loop, (state, images, pngs, sample_mask, step_rng),
-            n_steps, max(n_steps // 4, 1),
-        )
-        lovasz = {
-            "images_per_sec": round(b / per_step, 2),
-            "ms_per_step": round(per_step * 1e3, 2),
-        }
-        del state
-
-    # --- Predict (inference) rows: the other half of the north star --------
+        lovasz = _run_sub(f"train:{b0}:lovasz_hinge")
     predict_rows = None
     if os.environ.get("BENCH_PREDICT", "1") != "0":
         predict_rows = {}
-        pred_model = build_model("unet_resnet50", num_classes=2, dtype=jnp.bfloat16)
+        for psize in dict.fromkeys((480, size)):
+            for pb in (1, b0):
+                predict_rows[f"b{pb}_{psize}"] = _run_sub(f"predict:{psize}:{pb}")
+    ceiling_out = _run_sub("ceiling")
+    ceiling = ceiling_out["matmul_ceiling_tflops"] if ceiling_out else None
 
-        for psize in (480, size):
-            variables = init_model(pred_model, jax.random.PRNGKey(0), (psize, psize))
-
-            def make_pred_loop(n):
-                @jax.jit
-                def loop(variables, x):
-                    def body(_, x):
-                        logits = pred_model.apply(variables, x, train=False)
-                        # softmax on device (predict.py does this before the
-                        # fetch) + feed a zero of it back so the loop carries
-                        # a data dependence (anti-hoisting, ROADMAP traps).
-                        p = jax.nn.softmax(logits, axis=-1)
-                        return x + (p.mean() * 0.0).astype(x.dtype)
-
-                    out = jax.lax.fori_loop(0, n, body, x)
-                    return out, out[0, 0, 0, 0]
-
-                return loop
-
-            for pb in (1, batches[0]):
-                x = np.random.RandomState(0).rand(pb, psize, psize, 3)
-                x = jax.device_put(x.astype(np.float32))
-                per_img = _timed_loop(
-                    make_pred_loop, (variables, x), n_steps, max(n_steps // 4, 1)
-                ) / pb
-
-                row = {
-                    "device_ms_per_image": round(per_img * 1e3, 2),
-                    "images_per_sec": round(1.0 / per_img, 1),
-                }
-                if pb == 1:
-                    # End-to-end per-image wall time, reference predict.py
-                    # style: one dispatch + full softmax fetch per image.
-                    pfn = jax.jit(
-                        lambda v, x: jax.nn.softmax(
-                            pred_model.apply(v, x, train=False), axis=-1
-                        )
-                    )
-                    np.asarray(pfn(variables, x))  # compile + warmup
-                    reps = 5
-                    t0 = time.perf_counter()
-                    for _ in range(reps):
-                        np.asarray(pfn(variables, x))
-                    row["e2e_ms_per_image"] = round(
-                        (time.perf_counter() - t0) / reps * 1e3, 1
-                    )
-                predict_rows[f"b{pb}_{psize}"] = row
-
-    ceiling = round(_matmul_ceiling_tflops(jax, jnp), 1)
-    b0 = batches[0]
     baseline = None
     try:
         with open(os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")) as f:
@@ -235,34 +292,43 @@ def main() -> None:
     except Exception:
         pass
 
+    head = results.get(b0) or {}
+    ips = head.get("images_per_sec")
+    tfs = head.get("model_tflops_per_sec")
     out = {
-        "metric": f"train images/sec (unet_resnet50 bce {size}x{size} b{b0} bf16, "
-                  f"{jax.devices()[0].platform})",
-        "value": results[b0]["images_per_sec"],
+        "metric": f"train images/sec (unet_resnet50 bce {size}x{size} b{b0} bf16)",
+        "value": ips,
         "unit": "images/sec",
-        "vs_baseline": round(results[b0]["images_per_sec"] / baseline, 2) if baseline else None,
-        "ms_per_step": results[b0]["ms_per_step"],
-        "model_tflops_per_sec": results[b0]["model_tflops_per_sec"],
+        "vs_baseline": round(ips / baseline, 2) if ips and baseline else None,
+        "ms_per_step": head.get("ms_per_step"),
+        "model_tflops_per_sec": tfs,
         "matmul_ceiling_tflops": ceiling,
         "pct_of_matmul_peak": (
-            round(100 * results[b0]["model_tflops_per_sec"] / ceiling, 1)
-            if results[b0]["model_tflops_per_sec"] and ceiling
-            else None
+            round(100 * tfs / ceiling, 1) if tfs and ceiling else None
         ),
         "vs_baseline_note": "torch reference on this host is CPU-only; "
                             "pct_of_matmul_peak is the quality bar",
     }
     for b in batches[1:]:
-        out[f"b{b}"] = results[b]
+        out[f"b{b}"] = results.get(b)
     if lovasz is not None:
         out["train_lovasz"] = lovasz
     if predict_rows is not None:
         out["predict"] = predict_rows
         out["predict_note"] = (
-            "device_ms_per_image = pure device time (incl. on-device softmax); "
-            "e2e adds one dispatch + full softmax fetch (host-link bound here)"
+            "device_ms_per_image = pure device time (incl. on-device "
+            "softmax); e2e adds one dispatch + full softmax fetch "
+            "(host-link bound here)"
         )
     print(json.dumps(out, allow_nan=False))
+
+
+def main() -> None:
+    spec = os.environ.get("BENCH_SECTION")
+    if spec:
+        print(json.dumps(run_section(spec), allow_nan=False))
+    else:
+        supervise()
 
 
 if __name__ == "__main__":
