@@ -214,7 +214,18 @@ def _ceiling_section() -> dict:
         c[0] = mm(c[0], b)
         return c[0]
 
-    per_step = _timed_chain(step, lambda y: float(y[0, 0]), 24, 6)
+    # Large-k sustained rate, NOT two-count subtraction: at ~6 ms/step the
+    # subtraction's residual is several percent and measured ABOVE the v5e
+    # bf16 spec (197 TF/s) — k=96 converges to the same ~170-180 TF/s the
+    # round-2 fori_loop method measured (k=6..96 sweep in the repo log).
+    float(step()[0, 0])  # compile + warmup
+    k = 96
+    t0 = time.perf_counter()
+    last = None
+    for _ in range(k):
+        last = step()
+    float(last[0, 0])
+    per_step = (time.perf_counter() - t0) / k
     return {"matmul_ceiling_tflops": round(2 * n**3 / per_step / 1e12, 1)}
 
 
