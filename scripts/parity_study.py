@@ -59,7 +59,10 @@ def run_one(framework: str, cfg: dict, seed: int, args) -> dict:
     if framework == "ref":
         cmd += ["--device", "cpu", "--no-amp", "--workers", "0"]
     else:
-        cmd += ["--device-augment", "--ckpt-every", "0"]
+        # --defer-ckpt: on this host the device link is ~10 MB/s, so the
+        # reference-parity per-epoch best/last writes would dominate these
+        # tiny-dataset epochs; the study only consumes end-of-run artifacts.
+        cmd += ["--device-augment", "--ckpt-every", "0", "--defer-ckpt"]
     env = dict(os.environ)
     env.setdefault("OMP_NUM_THREADS", "8")
     print(f"[{framework}] {cfg['model']}+{cfg['loss']} seed={seed}", flush=True)

@@ -305,6 +305,7 @@ def train(args):
     best_score = -1.0
     best_epoch = None
     best_val_metrics = None
+    deferred_best_vars = None  # --defer-ckpt: on-device copy of best masters
     best_model_path = os.path.join(weights_folder, "best.msgpack")
     last_model_path = os.path.join(weights_folder, "last.msgpack")
 
@@ -560,9 +561,19 @@ def train(args):
             # model-only, like the reference's best.pth state_dict — saved
             # from the f32 MASTER params (not the bf16 compute copies) so
             # finetunes from best.msgpack start from unrounded weights.
-            checkpoint.save_variables(best_model_path, checkpoint.master_variables(state))
+            if args.defer_ckpt:
+                # Copy now (the step donates/overwrites state buffers);
+                # the host fetch + disk write happen once, after the loop.
+                deferred_best_vars = jax.tree_util.tree_map(
+                    jnp.copy, checkpoint.master_variables(state)
+                )
+            else:
+                checkpoint.save_variables(
+                    best_model_path, checkpoint.master_variables(state)
+                )
             print(f"New best model saved with score: {best_score:.4f}")
-        checkpoint.save_variables(last_model_path, checkpoint.master_variables(state))
+        if not args.defer_ckpt:
+            checkpoint.save_variables(last_model_path, checkpoint.master_variables(state))
         # Full TrainState (params + opt state + step) for true resume — the
         # capability the reference lacks. Saved every --ckpt-every epochs
         # because it is 3x the bytes (matters on slow host links).
@@ -581,6 +592,11 @@ def train(args):
                     "val_metrics_history": val_metrics_history,
                 },
             )
+
+    if args.defer_ckpt:
+        if deferred_best_vars is not None:
+            checkpoint.save_variables(best_model_path, deferred_best_vars)
+        checkpoint.save_variables(last_model_path, checkpoint.master_variables(state))
 
     total_time = time.time() - start_time
     print(f"Training completed in {datetime.timedelta(seconds=int(total_time))}")
@@ -733,6 +749,14 @@ def parse_args(argv=None):
                              "(default: auto — on for TPU, off for CPU)")
     parser.add_argument("--scan-chunk", default=8, type=int,
                         help="Train steps per device dispatch on the resident path")
+    parser.add_argument("--defer-ckpt", action=_boolopt(), default=False,
+                        help="Defer best/last.msgpack writes to after the "
+                             "training loop (best is kept as an on-device "
+                             "copy). The reference writes every epoch "
+                             "(/root/reference/train.py:376-383) and so does "
+                             "this CLI by default; defer on hosts with a slow "
+                             "device link, where per-epoch 100MB+ param "
+                             "fetches dominate small-dataset epochs.")
     parser.add_argument("--ckpt-every", default=5, type=int,
                         help="Save the full resume state (params+optimizer) "
                              "every N epochs (0 = never); best/last stay "
