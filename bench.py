@@ -214,18 +214,25 @@ def _ceiling_section() -> dict:
         c[0] = mm(c[0], b)
         return c[0]
 
-    # Large-k sustained rate, NOT two-count subtraction: at ~6 ms/step the
-    # subtraction's residual is several percent and measured ABOVE the v5e
-    # bf16 spec (197 TF/s) — k=96 converges to the same ~170-180 TF/s the
-    # round-2 fori_loop method measured (k=6..96 sweep in the repo log).
+    # Two-count subtraction at LARGE counts: a k-sweep (32..384, repo log
+    # 2026-08-17) shows per-step time follows t_inf + C/k with C ~ 28 ms of
+    # fixed dispatch/fetch offset, so a single k=96 rate is several percent
+    # optimistic on a good run (and once measured ABOVE the 197 TF/s v5e
+    # bf16 spec on a flaky one). (t(k2)-t(k1))/(k2-k1) cancels the offset;
+    # median of 3 repeats rides out relay jitter. Converges to ~186 TF/s.
     float(step()[0, 0])  # compile + warmup
-    k = 96
-    t0 = time.perf_counter()
-    last = None
-    for _ in range(k):
-        last = step()
-    float(last[0, 0])
-    per_step = (time.perf_counter() - t0) / k
+
+    def timed(k: int) -> float:
+        float(step()[0, 0])  # settle; breaks the previous chain
+        t0 = time.perf_counter()
+        for _ in range(k):
+            step()
+        float(c[0][0, 0])
+        return time.perf_counter() - t0
+
+    k1, k2 = 96, 384
+    ests = sorted((timed(k2) - timed(k1)) / (k2 - k1) for _ in range(3))
+    per_step = ests[1]
     return {"matmul_ceiling_tflops": round(2 * n**3 / per_step / 1e12, 1)}
 
 
