@@ -126,7 +126,12 @@ echo "python=$py data=$cfg_data task=$cfg_task epochs=$cfg_epochs batch=$cfg_bat
 fetch_dataset_if_needed
 
 if [[ "$cfg_task" == multitask ]]; then
-  fit "${override_model:-multitask_unet}" bce
+  # Only the two-headed multitask_unet is valid here — a --model override
+  # (meant for the loss-compare stages) would make train.py refuse.
+  if [[ -n "$override_model" && "$override_model" != multitask_unet ]]; then
+    echo "[WARN] --model $override_model ignored for --task multitask (multitask_unet required)"
+  fi
+  fit multitask_unet bce
   echo "done (multitask is a single run)."
   exit 0
 fi

@@ -65,8 +65,29 @@ def test_run_sh_binary_stage1(tmp_path):
 
 @pytest.mark.slow
 def test_run_sh_multitask_single_run(tmp_path):
-    _run(tmp_path, ["--task", "multitask"])
+    # The --model unet_plain in SMOKE must be ignored (warned about) for the
+    # multitask leg: only multitask_unet has the two heads the task needs.
+    out = _run(tmp_path, ["--task", "multitask"])
+    assert "ignored for --task multitask" in out
     cfgs = _exp_configs(tmp_path)
     assert len(cfgs) == 1 and cfgs[0]["task"] == "multitask"
+    assert cfgs[0]["model"] == "multitask_unet"
     with open(glob.glob(str(tmp_path / "run/train/exp*/summary.json"))[0]) as f:
         assert "best_score" in json.load(f)
+
+
+def test_train_refuses_task_model_mismatch(tmp_path):
+    """train.py fails fast (clear message, no training) on task/model
+    mismatches the reference only surfaces as an unpack crash mid-epoch
+    (/root/reference/train.py:244)."""
+    env = dict(os.environ)
+    env.update(PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+    for task, model in (("multitask", "unet_plain"), ("binary", "multitask_unet")):
+        res = subprocess.run(
+            [sys.executable, os.path.join(REPO, "train.py"),
+             "--task", task, "--model", model,
+             "--data-path", "synthetic:8", "--epochs", "1"],
+            cwd=tmp_path, env=env, capture_output=True, text=True, timeout=300,
+        )
+        assert res.returncode != 0
+        assert "incompatible" in res.stderr

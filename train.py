@@ -151,6 +151,15 @@ def print_train_row(epoch, train_epoch, it, n_batches, loss, lr, size, ips):
 
 
 def train(args):
+    # Fail fast on task/model mismatches the reference only surfaces as an
+    # unpack crash deep in its epoch loop (/root/reference/train.py:244 —
+    # ``seg_logits, cls_logits = model(images)`` with a single-head model).
+    if (args.task == "multitask") != (args.model == "multitask_unet"):
+        raise SystemExit(
+            f"--task {args.task} is incompatible with --model {args.model}: "
+            "multitask training requires the two-headed multitask_unet "
+            "(and multitask_unet only trains under --task multitask)"
+        )
     rng = seed_everything(args.seed)
     num_classes = resolve_num_classes(args)
     train_epoch = args.epochs
