@@ -1,0 +1,104 @@
+"""Inference serving characterization: batch-size sweep of predict throughput.
+
+ROADMAP frontier #3: single-image predict is far from saturating the chip —
+batching is the serving lever (shipped as ``predict.py --batch``). This
+measures how far it goes: device img/s for the flagship unet_resnet50
+binary predictor (bf16, on-device softmax — the exact ``make_predict_fn``
+semantics predict.py runs) across batch sizes and the two deployment
+resolutions (the reference's hardcoded 480, training 512; plus 256 for
+low-res serving).
+
+Each (size, batch) point runs as a retried subprocess via bench.py's
+``BENCH_SECTION=predict:<size>:<batch>`` worker — same chained-dispatch
+timing, same crash tolerance against the relay's compile-kill flakes.
+
+Usage (repo root):
+    python scripts/serving_sweep.py [--sizes 256 480 512] \
+        [--batches 1 2 4 8 16 32] [--out SERVING.json]
+
+Writes the JSON (incrementally — safe to re-run, completed points are kept)
+and prints a markdown table for docs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_point(size: int, batch: int, retries: int, timeout: float) -> dict | None:
+    env = dict(os.environ, BENCH_SECTION=f"predict:{size}:{batch}")
+    for attempt in range(1, retries + 1):
+        print(f"[serving] {size}^2 b{batch} (attempt {attempt}/{retries})",
+              file=sys.stderr, flush=True)
+        try:
+            res = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py")],
+                env=env, capture_output=True, text=True, timeout=timeout,
+                start_new_session=True,
+            )
+        except subprocess.TimeoutExpired:
+            continue
+        lines = [l for l in res.stdout.strip().splitlines() if l.strip()]
+        if res.returncode == 0 and lines:
+            try:
+                return json.loads(lines[-1])
+            except json.JSONDecodeError:
+                pass
+        print(f"[serving] rc={res.returncode} "
+              f"stderr_tail={res.stderr.strip()[-200:]!r}",
+              file=sys.stderr, flush=True)
+    return None
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--sizes", type=int, nargs="+", default=[256, 480, 512])
+    p.add_argument("--batches", type=int, nargs="+", default=[1, 2, 4, 8, 16, 32])
+    p.add_argument("--retries", type=int, default=3)
+    p.add_argument("--timeout", type=float, default=1500.0)
+    p.add_argument("--out", default=os.path.join(REPO, "SERVING.json"))
+    args = p.parse_args()
+
+    results: dict = {}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            results = json.load(f)
+
+    for size in args.sizes:
+        row = results.setdefault(str(size), {})
+        for batch in args.batches:
+            if str(batch) in row:
+                print(f"[skip] {size}^2 b{batch}", file=sys.stderr, flush=True)
+                continue
+            point = run_point(size, batch, args.retries, args.timeout)
+            if point is not None:
+                row[str(batch)] = point
+                with open(args.out, "w") as f:
+                    json.dump(results, f, indent=2)
+
+    # Markdown table: rows = batch, one img/s + ms/img column pair per size.
+    batches = sorted({int(b) for row in results.values() for b in row})
+    sizes = sorted(int(s) for s in results)
+    header = "| batch | " + " | ".join(
+        f"{s}² img/s | {s}² ms/img" for s in sizes) + " |"
+    print(header)
+    print("|" + "---|" * (1 + 2 * len(sizes)))
+    for b in batches:
+        cells = []
+        for s in sizes:
+            pt = results.get(str(s), {}).get(str(b))
+            if pt:
+                cells += [f"{pt['images_per_sec']}", f"{pt['device_ms_per_image']}"]
+            else:
+                cells += ["—", "—"]
+        print(f"| {b} | " + " | ".join(cells) + " |")
+
+
+if __name__ == "__main__":
+    main()
