@@ -132,9 +132,14 @@ def main() -> None:
 
 
 def _write(out: str, results: dict, entry: dict, seeds: list[int]) -> None:
-    """Refresh the mean±std summary from by_seed and persist everything."""
+    """Refresh the mean±std summary from by_seed and persist everything.
+
+    Aggregates over EVERY seed in by_seed — not just this invocation's
+    --seeds — so incremental runs (e.g. adding ref seed 1 to a study that
+    already holds seed 0) extend the summary instead of replacing it.
+    """
     by_seed = entry.get("by_seed", {})
-    entry["seeds"] = [s for s in seeds if str(s) in by_seed]
+    entry["seeds"] = sorted(int(s) for s in by_seed)
     metrics: dict[str, list[float]] = {}
     for s in entry["seeds"]:
         for k, v in by_seed[str(s)].items():
