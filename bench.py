@@ -6,8 +6,9 @@ train+predict @512^2"):
   - train: the full jitted step (forward + loss + backward + optimizer
     update) for unet_resnet50, binary, 512x512, bf16 compute — the
     reference's default model (/root/reference/train.py:552) at its training
-    resolution — at batch 8 (headline), batch 16, AND with the CLI-default
-    Lovasz-hinge loss (train.py --loss lovasz_hinge) at batch 8.
+    resolution — at batch 8 (headline), batch 16, AND the CLI-default
+    Lovasz-hinge loss at batch 8 in both compute dtypes (the CLI defaults
+    that config to f32 for accuracy parity, PARITY.md; bf16 via --amp).
   - predict: inference forward (steps.make_predict_fn semantics, softmax on
     device — what predict.py times at /root/reference/predict.py:134-145)
     at the reference's hardcoded 480^2 and the training 512^2, single-image
@@ -83,7 +84,7 @@ def _knobs():
     return size, n_steps, max(n_steps // 4, 1)
 
 
-def _train_section(batch: int, loss_name: str) -> dict:
+def _train_section(batch: int, loss_name: str, f32: bool = False) -> dict:
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -97,10 +98,13 @@ def _train_section(batch: int, loss_name: str) -> dict:
 
     size, k_long, k_short = _knobs()
     mesh = make_mesh()
+    dtype = None if f32 else jnp.bfloat16
     model = build_model(
-        "unet_resnet50", num_classes=2, dtype=jnp.bfloat16, diff_head=True
+        "unet_resnet50", num_classes=2, dtype=dtype, diff_head=True
     )
-    tx = schedules.make_train_optimizer(1e-4)
+    tx = schedules.make_train_optimizer(
+        1e-4, param_dtype=jnp.float32 if f32 else None
+    )
     pos_weight = 5.0 if loss_name == "bce" else None
     train_step = steps.make_binary_train_step(model, tx, loss_name, pos_weight)
     step_rng = jax.random.PRNGKey(1)
@@ -239,7 +243,7 @@ def _ceiling_section() -> dict:
 def run_section(spec: str) -> dict:
     kind, *args = spec.split(":")
     if kind == "train":
-        return _train_section(int(args[0]), args[1])
+        return _train_section(int(args[0]), args[1], "f32" in args[2:])
     if kind == "predict":
         return _predict_section(int(args[0]), int(args[1]))
     if kind == "ceiling":
@@ -291,9 +295,13 @@ def supervise() -> None:
     b0 = batches[0]
 
     results = {b: _run_sub(f"train:{b}:bce") for b in batches}
-    lovasz = None
+    lovasz = lovasz_f32 = None
     if os.environ.get("BENCH_LOVASZ", "1") != "0":
         lovasz = _run_sub(f"train:{b0}:lovasz_hinge")
+        # The train CLI defaults this config to f32 (accuracy parity,
+        # PARITY.md) — measure what a default `--loss lovasz_hinge` run
+        # actually costs, alongside the bf16 row (`--amp`).
+        lovasz_f32 = _run_sub(f"train:{b0}:lovasz_hinge:f32")
     predict_rows = None
     if os.environ.get("BENCH_PREDICT", "1") != "0":
         predict_rows = {}
@@ -330,7 +338,9 @@ def supervise() -> None:
     for b in batches[1:]:
         out[f"b{b}"] = results.get(b)
     if lovasz is not None:
-        out["train_lovasz"] = lovasz
+        out["train_lovasz_bf16"] = lovasz
+    if lovasz_f32 is not None:
+        out["train_lovasz_f32_default"] = lovasz_f32
     if predict_rows is not None:
         out["predict"] = predict_rows
         out["predict_note"] = (

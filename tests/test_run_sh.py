@@ -76,6 +76,22 @@ def test_run_sh_multitask_single_run(tmp_path):
         assert "best_score" in json.load(f)
 
 
+def test_amp_default_resolution():
+    """bf16 is the default compute dtype except for the one config with a
+    measured converged-regime accuracy cost (PARITY.md): resnet50+lovasz
+    defaults to f32; an explicit --amp / --no-amp always wins."""
+    sys.path.insert(0, REPO)
+    import train as train_cli
+
+    assert train_cli.resolve_amp_default("unet_resnet50", "lovasz_hinge") is False
+    assert train_cli.resolve_amp_default("unet_resnet50", "bce") is True
+    assert train_cli.resolve_amp_default("unet_plain", "lovasz_hinge") is True
+    # the CLI flag is tri-state: None means "apply the rule"
+    assert train_cli.parse_args([]).amp is None
+    assert train_cli.parse_args(["--amp"]).amp is True
+    assert train_cli.parse_args(["--no-amp"]).amp is False
+
+
 def test_train_refuses_task_model_mismatch(tmp_path):
     """train.py fails fast (clear message, no training) on task/model
     mismatches the reference only surfaces as an unpack crash mid-epoch

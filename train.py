@@ -46,6 +46,13 @@ class LogColor:
     BLUE = "\033[1;34m"
 
 
+def resolve_amp_default(model: str, loss: str) -> bool:
+    """Default compute dtype per config: bf16 everywhere except the one
+    config with measured converged-regime accuracy cost (PARITY.md):
+    from-scratch unet_resnet50 + lovasz_hinge trains f32 by default."""
+    return not (model == "unet_resnet50" and loss == "lovasz_hinge")
+
+
 def resolve_num_classes(args) -> int:
     if args.task == "binary":
         return 2
@@ -160,6 +167,13 @@ def train(args):
             "multitask training requires the two-headed multitask_unet "
             "(and multitask_unet only trains under --task multitask)"
         )
+    if args.amp is None:
+        args.amp = resolve_amp_default(args.model, args.loss)
+        if not args.amp:
+            print(
+                "[amp] defaulting to f32 for unet_resnet50 + lovasz_hinge "
+                "(accuracy parity, see PARITY.md); pass --amp to force bf16"
+            )
     rng = seed_everything(args.seed)
     num_classes = resolve_num_classes(args)
     train_epoch = args.epochs
@@ -743,8 +757,10 @@ def parse_args(argv=None):
     parser.add_argument("--momentum", default=0.9, type=float, metavar="M")
     parser.add_argument("--wd", "--weight-decay", default=1e-4, type=float,
                         metavar="W", dest="weight_decay")
-    parser.add_argument("--amp", action=_boolopt(), default=True,
-                        help="bf16 compute with f32 master params")
+    parser.add_argument("--amp", action=_boolopt(), default=None,
+                        help="bf16 compute with f32 master params (default: "
+                             "on, except f32 for unet_resnet50+lovasz_hinge "
+                             "— converged-parity evidence, PARITY.md)")
     parser.add_argument("--seed", default=11, type=int)
     parser.add_argument("--cache-dir", default=".hf-cache/datasets")
     parser.add_argument("--export-vis", action=_boolopt(), default=True)
