@@ -7,9 +7,12 @@ CONVERGED regime (256^2/40 epochs, the PARITY_CONVERGED.json setup) so the
 attribution — and any default flip — is based on converged evidence, per
 the round-2 review.
 
-Variants (vs our defaults = bf16 + device-augment):
-  host_aug   : --no-device-augment       (PIL/cv2 reference-parity augment)
-  f32        : --no-amp                  (f32 compute)
+Variants (flags are explicit so the study stays single-variable even as
+CLI defaults move; since the converged study, the train CLI defaults THIS
+config to f32 — see train.resolve_amp_default):
+  host_aug   : --amp --no-device-augment (PIL/cv2 reference-parity augment)
+  f32        : --no-amp                  (f32 compute == today's default)
+  bf16       : --amp                     (the pre-flip bf16 default)
   both       : --no-amp --no-device-augment
 
 Usage:
@@ -31,8 +34,9 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 VARIANTS = {
-    "host_aug": ["--no-device-augment"],
+    "host_aug": ["--amp", "--no-device-augment"],
     "f32": ["--no-amp"],
+    "bf16": ["--amp"],
     "both": ["--no-amp", "--no-device-augment"],
 }
 
