@@ -236,7 +236,11 @@ def parse_args(argv=None):
     parser.add_argument("--mix_type", default=True,
                         action=argparse.BooleanOptionalAction,
                         help="Alpha-blend the mask over the original image")
-    parser.add_argument("--amp", default=True, action=argparse.BooleanOptionalAction)
+    parser.add_argument("--amp", default=True, action=argparse.BooleanOptionalAction,
+                        help="bf16 inference (default). Pass --no-amp to run "
+                             "f32, e.g. for checkpoints from the f32-default "
+                             "resnet50+lovasz training config (PARITY.md); "
+                             "mask output differs only at borderline pixels")
     parser.add_argument("--batch", default=1, type=int,
                         help="Directory inference batch size (amortizes the "
                              "per-dispatch device RTT; 1 = reference-parity "

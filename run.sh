@@ -103,9 +103,14 @@ newest_exp=""
 fit() { # fit MODEL LOSS — one training run; records newest_exp
   local model=$1 loss=$2
   banner "train: task=$cfg_task model=$model loss=$loss data=$cfg_data"
+  # --no-amp pins one compute dtype across every compared run: train.py's
+  # per-config default (f32 for resnet50+lovasz, bf16 otherwise) would
+  # otherwise confound the stage-1 loss tables and stage-3 model tables
+  # with a dtype variable that make_tables doesn't record. f32 is the
+  # accuracy-safe uniform choice for a paper pipeline (PARITY.md).
   "$py" "$script_dir/train.py" \
     --task "$cfg_task" --data-config "$cfg_data" --data-path "$data_path" \
-    --model "$model" --loss "$loss" --weights "$cfg_weights" \
+    --model "$model" --loss "$loss" --weights "$cfg_weights" --no-amp \
     --epochs "$cfg_epochs" --batch-size "$cfg_batch" --input-size "$cfg_size" \
     --workers "$cfg_workers" --seed "$cfg_seed" --cache-dir "$cfg_cache" \
     --max-train-batches "$cap" --max-val-batches "$cap" --max-test-batches "$cap"

@@ -71,7 +71,16 @@ def run_one(framework: str, cfg: dict, seed: int, args) -> dict:
         print(res.stdout[-3000:], res.stderr[-3000:], sep="\n", flush=True)
         raise RuntimeError(f"{framework} run failed (rc={res.returncode})")
     exp = newest_exp(cwd)
-    with open(os.path.join(exp, "test_metrics.json")) as f:
+    tm_path = os.path.join(exp, "test_metrics.json")
+    if not os.path.exists(tm_path):
+        # train.py exits 0 even when test eval fails ('[WARN] Skip test
+        # evaluation' on both sides) — surface that instead of crashing on
+        # the open, and never attribute a stale exp's metrics to this run.
+        raise RuntimeError(
+            f"{framework} run produced no test_metrics.json in {exp} "
+            "(test evaluation failed?); not recording this seed"
+        )
+    with open(tm_path) as f:
         return json.load(f)
 
 
@@ -95,6 +104,10 @@ def main() -> None:
     p.add_argument("--out", default=os.path.join(REPO, "PARITY_RESULTS.json"))
     args = p.parse_args()
 
+    # Lazy: train.py imports jax/the package; only the rule is needed here.
+    sys.path.insert(0, REPO)
+    from train import resolve_amp_default  # noqa: PLC0415
+
     ensure_ref_copy()
     results: dict = {}
     if os.path.exists(args.out):
@@ -108,12 +121,23 @@ def main() -> None:
                 continue
             key = f"{name}/{framework}"
             entry = results.setdefault(key, {})
-            # Regime change (epochs/size) invalidates cached per-seed runs.
-            if (entry.get("epochs"), entry.get("input_size")) != (
-                args.epochs, args.input_size
-            ):
+            # Regime change invalidates cached per-seed runs. The regime
+            # includes the EFFECTIVE compute dtype of a defaults run: the
+            # ref CPU legs are always f32 (--no-amp below), ours follow
+            # train.resolve_amp_default — which moved to f32 for
+            # resnet50+lovasz mid-study, and mixing dtypes in one
+            # mean±std would corrupt the parity evidence.
+            amp_eff = (
+                False if framework == "ref"
+                else resolve_amp_default(cfg["model"], cfg["loss"])
+            )
+            if (
+                entry.get("epochs"), entry.get("input_size"), entry.get("amp")
+            ) != (args.epochs, args.input_size, amp_eff):
                 entry.clear()
-            entry.update(epochs=args.epochs, input_size=args.input_size)
+            entry.update(
+                epochs=args.epochs, input_size=args.input_size, amp=amp_eff
+            )
             by_seed = entry.setdefault("by_seed", {})
             for seed in args.seeds:
                 if str(seed) in by_seed:  # resumable: multi-hour ref legs
@@ -126,12 +150,12 @@ def main() -> None:
                     if k in tm
                 }
                 print(f"  seed {seed}: {tm}", flush=True)
-                _write(args.out, results, entry, args.seeds)
-            _write(args.out, results, entry, args.seeds)
+                _write(args.out, results, entry)
+            _write(args.out, results, entry)
             print(f"[saved] {key}: {entry}", flush=True)
 
 
-def _write(out: str, results: dict, entry: dict, seeds: list[int]) -> None:
+def _write(out: str, results: dict, entry: dict) -> None:
     """Refresh the mean±std summary from by_seed and persist everything.
 
     Aggregates over EVERY seed in by_seed — not just this invocation's

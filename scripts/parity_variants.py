@@ -25,11 +25,13 @@ Writes PARITY_VARIANTS_CONVERGED.json {variant: {seed: test_metrics}}.
 from __future__ import annotations
 
 import argparse
-import glob
 import json
 import os
 import subprocess
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from parity_study import newest_exp  # shared exp-dir resolution
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -39,11 +41,6 @@ VARIANTS = {
     "bf16": ["--amp"],
     "both": ["--no-amp", "--no-device-augment"],
 }
-
-
-def newest_exp() -> str:
-    exps = glob.glob(os.path.join(REPO, "run", "train", "exp*"))
-    return max(exps, key=os.path.getmtime)
 
 
 def main() -> None:
@@ -84,7 +81,13 @@ def main() -> None:
                 print(res.stdout[-3000:], res.stderr[-3000:], sep="\n",
                       flush=True)
                 raise RuntimeError(f"{name} seed={seed} failed")
-            with open(os.path.join(newest_exp(), "test_metrics.json")) as f:
+            tm_path = os.path.join(newest_exp(REPO), "test_metrics.json")
+            if not os.path.exists(tm_path):
+                raise RuntimeError(
+                    f"{name} seed={seed}: run produced no test_metrics.json "
+                    "(test evaluation failed?); not recording"
+                )
+            with open(tm_path) as f:
                 tm = json.load(f)
             entry[str(seed)] = {k: float(v) for k, v in tm.items()}
             print(f"  {name} seed={seed}: IoU={tm['IoU']:.4f}", flush=True)

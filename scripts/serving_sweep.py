@@ -25,35 +25,20 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+import bench  # noqa: E402  (pure-Python supervisor; no jax import)
 
 
 def run_point(size: int, batch: int, retries: int, timeout: float) -> dict | None:
-    env = dict(os.environ, BENCH_SECTION=f"predict:{size}:{batch}")
-    for attempt in range(1, retries + 1):
-        print(f"[serving] {size}^2 b{batch} (attempt {attempt}/{retries})",
-              file=sys.stderr, flush=True)
-        try:
-            res = subprocess.run(
-                [sys.executable, os.path.join(REPO, "bench.py")],
-                env=env, capture_output=True, text=True, timeout=timeout,
-                start_new_session=True,
-            )
-        except subprocess.TimeoutExpired:
-            continue
-        lines = [l for l in res.stdout.strip().splitlines() if l.strip()]
-        if res.returncode == 0 and lines:
-            try:
-                return json.loads(lines[-1])
-            except json.JSONDecodeError:
-                pass
-        print(f"[serving] rc={res.returncode} "
-              f"stderr_tail={res.stderr.strip()[-200:]!r}",
-              file=sys.stderr, flush=True)
-    return None
+    """One (size, batch) measurement via bench.py's retried-subprocess
+    worker — the single home of the relay crash-tolerance logic."""
+    os.environ["BENCH_RETRIES"] = str(retries)
+    os.environ["BENCH_SECTION_TIMEOUT"] = str(timeout)
+    print(f"[serving] {size}^2 b{batch}", file=sys.stderr, flush=True)
+    return bench._run_sub(f"predict:{size}:{batch}")
 
 
 def main() -> None:

@@ -69,6 +69,13 @@ def val(args):
         loader = DataLoader(dataset, batch_size=1, shuffle=False, prefetch=2)
 
     rng = seed_everything(11)
+    if args.amp is None:
+        # Mirror train.py's per-config default so val reproduces the
+        # test_metrics.json of a defaults training run (f32 for
+        # resnet50+lovasz — PARITY.md; bf16 otherwise).
+        from train import resolve_amp_default
+
+        args.amp = resolve_amp_default(args.model, args.loss)
     dtype = jnp.bfloat16 if args.amp else None
     if args.task == "multitask":
         model = build_model(args.model, num_classes=1, num_seg_classes=1,
@@ -203,7 +210,10 @@ def parse_args(argv=None):
     parser.add_argument("--input-size", default=512, type=int)
     parser.add_argument("--cache-dir", default=".hf-cache/datasets")
     parser.add_argument("--device", default="tpu", help="Accepted for parity; ignored")
-    parser.add_argument("--amp", action=argparse.BooleanOptionalAction, default=True)
+    parser.add_argument("--amp", action=argparse.BooleanOptionalAction,
+                        default=None,
+                        help="bf16 compute (default: train.py's per-config "
+                             "rule, so eval reproduces training's dtype)")
     parser.add_argument("--batch-size", default=8, type=int,
                         help="Eval batch size on the device-resident path "
                              "(host path keeps the reference's bs=1)")
