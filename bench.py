@@ -33,9 +33,13 @@ compile costs one section retry, not the whole benchmark. Timing is by
 CHAINED DISPATCH of the bare jitted step (two call-counts, subtracted) —
 the same executable real training runs, warm in the persistent compile
 cache — instead of jitted ``fori_loop`` mega-graphs (10+ min cold compiles
-through the relay). Env knobs: BENCH_SIZE, BENCH_STEPS, BENCH_BATCHES,
-BENCH_PREDICT=0 / BENCH_LOVASZ=0 to skip sections, BENCH_RETRIES,
-BENCH_SECTION_TIMEOUT.
+through the relay). A cheap reachability probe (128^2 matmul subprocess,
+BENCH_PROBE_TIMEOUT) gates the run and every section timeout: when the
+relay itself is hung (observed outage 2026-08-17: ``jax.devices()`` blocked
+for hours), the supervisor emits the JSON line with ``"error"`` set after
+minutes instead of burning retries*timeout on all sections. Env knobs:
+BENCH_SIZE, BENCH_STEPS, BENCH_BATCHES, BENCH_PREDICT=0 / BENCH_LOVASZ=0 to
+skip sections, BENCH_RETRIES, BENCH_SECTION_TIMEOUT, BENCH_PROBE_TIMEOUT.
 """
 
 from __future__ import annotations
@@ -202,6 +206,19 @@ def _predict_section(psize: int, pb: int) -> dict:
     return row
 
 
+def _probe_section() -> dict:
+    """Minimal reachability check: device enumeration + one tiny fetched
+    matmul. Cheap on a healthy relay (shape is compile-cached); hangs only
+    when the relay itself is hung — which is exactly what the supervisor's
+    short timeout converts into a fast \"relay down\" verdict."""
+    import jax
+    import jax.numpy as jnp
+
+    d = jax.devices()
+    x = jnp.ones((128, 128), jnp.bfloat16)
+    return {"ok": True, "platform": d[0].platform, "sum": float((x @ x).sum())}
+
+
 def _ceiling_section() -> dict:
     import jax
     import jax.numpy as jnp
@@ -248,6 +265,8 @@ def run_section(spec: str) -> dict:
         return _predict_section(int(args[0]), int(args[1]))
     if kind == "ceiling":
         return _ceiling_section()
+    if kind == "probe":
+        return _probe_section()
     raise ValueError(f"unknown section {spec!r}")
 
 
@@ -255,6 +274,33 @@ def run_section(spec: str) -> dict:
 # Supervisor (pure Python — never touches the TPU, so it cannot be killed
 # by the relay; assembles the one-line JSON from per-section subprocesses)
 # --------------------------------------------------------------------------
+
+
+class RelayDown(RuntimeError):
+    """The TPU relay is unreachable (even a 128^2 matmul probe hangs)."""
+
+
+def _relay_up(attempts: int = 2) -> bool:
+    """Fast reachability verdict so a hung relay (observed 2026-08-17: even
+    ``jax.devices()`` blocks for hours) costs minutes, not
+    retries*timeout*sections hours of dead subprocess timeouts."""
+    timeout = float(os.environ.get("BENCH_PROBE_TIMEOUT", "240"))
+    env = dict(os.environ, BENCH_SECTION="probe")
+    for attempt in range(1, attempts + 1):
+        _progress(f"relay probe (attempt {attempt}/{attempts})")
+        try:
+            res = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, timeout=timeout,
+                start_new_session=True,
+            )
+            if res.returncode == 0:
+                return True
+            _progress(f"probe rc={res.returncode} "
+                      f"stderr_tail={res.stderr.strip()[-200:]!r}")
+        except subprocess.TimeoutExpired:
+            _progress(f"probe: timeout after {timeout}s")
+    return False
 
 
 def _run_sub(spec: str) -> dict | None:
@@ -275,6 +321,11 @@ def _run_sub(spec: str) -> dict | None:
             )
         except subprocess.TimeoutExpired:
             _progress(f"section {spec}: timeout after {timeout}s")
+            # Distinguish "this compile was slow/flaky" (retry is useful)
+            # from "the relay is gone" (every further attempt would burn the
+            # full timeout for nothing — bail out across sections).
+            if not _relay_up(attempts=1):
+                raise RelayDown(spec)
             continue
         lines = [l for l in res.stdout.strip().splitlines() if l.strip()]
         if res.returncode == 0 and lines:
@@ -294,21 +345,32 @@ def supervise() -> None:
     batches = [int(b) for b in os.environ.get("BENCH_BATCHES", "8,16").split(",")]
     b0 = batches[0]
 
-    results = {b: _run_sub(f"train:{b}:bce") for b in batches}
-    lovasz = lovasz_f32 = None
-    if os.environ.get("BENCH_LOVASZ", "1") != "0":
-        lovasz = _run_sub(f"train:{b0}:lovasz_hinge")
-        # The train CLI defaults this config to f32 (accuracy parity,
-        # PARITY.md) — measure what a default `--loss lovasz_hinge` run
-        # actually costs, alongside the bf16 row (`--amp`).
-        lovasz_f32 = _run_sub(f"train:{b0}:lovasz_hinge:f32")
-    predict_rows = None
-    if os.environ.get("BENCH_PREDICT", "1") != "0":
-        predict_rows = {}
-        for psize in dict.fromkeys((480, size)):
-            for pb in (1, b0):
-                predict_rows[f"b{pb}_{psize}"] = _run_sub(f"predict:{psize}:{pb}")
-    ceiling_out = _run_sub("ceiling")
+    results = {b: None for b in batches}
+    lovasz = lovasz_f32 = predict_rows = ceiling_out = None
+    relay_error = None
+    try:
+        if not _relay_up():
+            raise RelayDown("initial probe")
+        for b in batches:
+            results[b] = _run_sub(f"train:{b}:bce")
+        if os.environ.get("BENCH_LOVASZ", "1") != "0":
+            lovasz = _run_sub(f"train:{b0}:lovasz_hinge")
+            # The train CLI defaults this config to f32 (accuracy parity,
+            # PARITY.md) — measure what a default `--loss lovasz_hinge` run
+            # actually costs, alongside the bf16 row (`--amp`).
+            lovasz_f32 = _run_sub(f"train:{b0}:lovasz_hinge:f32")
+        if os.environ.get("BENCH_PREDICT", "1") != "0":
+            predict_rows = {}
+            for psize in dict.fromkeys((480, size)):
+                for pb in (1, b0):
+                    predict_rows[f"b{pb}_{psize}"] = _run_sub(
+                        f"predict:{psize}:{pb}")
+        ceiling_out = _run_sub("ceiling")
+    except RelayDown as e:
+        # Emit what we have, honestly flagged, instead of burning
+        # retries*timeout on every remaining section of a hung relay.
+        relay_error = f"tpu relay unreachable (probe hang at: {e})"
+        _progress(relay_error)
     ceiling = ceiling_out["matmul_ceiling_tflops"] if ceiling_out else None
 
     baseline = None
@@ -335,6 +397,8 @@ def supervise() -> None:
         "vs_baseline_note": "torch reference on this host is CPU-only; "
                             "pct_of_matmul_peak is the quality bar",
     }
+    if relay_error:
+        out["error"] = relay_error
     for b in batches[1:]:
         out[f"b{b}"] = results.get(b)
     if lovasz is not None:

@@ -55,17 +55,23 @@ def main() -> None:
         with open(args.out) as f:
             results = json.load(f)
 
-    for size in args.sizes:
-        row = results.setdefault(str(size), {})
-        for batch in args.batches:
-            if str(batch) in row:
-                print(f"[skip] {size}^2 b{batch}", file=sys.stderr, flush=True)
-                continue
-            point = run_point(size, batch, args.retries, args.timeout)
-            if point is not None:
-                row[str(batch)] = point
-                with open(args.out, "w") as f:
-                    json.dump(results, f, indent=2)
+    try:
+        for size in args.sizes:
+            row = results.setdefault(str(size), {})
+            for batch in args.batches:
+                if str(batch) in row:
+                    print(f"[skip] {size}^2 b{batch}", file=sys.stderr,
+                          flush=True)
+                    continue
+                point = run_point(size, batch, args.retries, args.timeout)
+                if point is not None:
+                    row[str(batch)] = point
+                    with open(args.out, "w") as f:
+                        json.dump(results, f, indent=2)
+    except bench.RelayDown as e:
+        # Completed points are already on disk; re-run resumes from them.
+        print(f"[serving] aborting sweep, TPU relay unreachable ({e})",
+              file=sys.stderr, flush=True)
 
     # Markdown table: rows = batch, one img/s + ms/img column pair per size.
     batches = sorted({int(b) for row in results.values() for b in row})
