@@ -88,7 +88,8 @@ def _knobs():
     return size, n_steps, max(n_steps // 4, 1)
 
 
-def _train_section(batch: int, loss_name: str, f32: bool = False) -> dict:
+def _train_section(batch: int, loss_name: str, f32: bool = False,
+                   decoder_width: float = 1.0) -> dict:
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -104,7 +105,8 @@ def _train_section(batch: int, loss_name: str, f32: bool = False) -> dict:
     mesh = make_mesh()
     dtype = None if f32 else jnp.bfloat16
     model = build_model(
-        "unet_resnet50", num_classes=2, dtype=dtype, diff_head=True
+        "unet_resnet50", num_classes=2, dtype=dtype, diff_head=True,
+        decoder_width=decoder_width,
     )
     tx = schedules.make_train_optimizer(
         1e-4, param_dtype=jnp.float32 if f32 else None
@@ -260,7 +262,15 @@ def _ceiling_section() -> dict:
 def run_section(spec: str) -> dict:
     kind, *args = spec.split(":")
     if kind == "train":
-        return _train_section(int(args[0]), args[1], "f32" in args[2:])
+        # Optional trailing tokens: "f32" (compute dtype) and "w<mult>"
+        # (decoder_width — the non-parity MXU-utilization row, run by hand
+        # or via scripts; never part of the headline supervise() set).
+        width = next(
+            (float(a[1:]) for a in args[2:] if a.startswith("w")), 1.0
+        )
+        return _train_section(
+            int(args[0]), args[1], "f32" in args[2:], decoder_width=width
+        )
     if kind == "predict":
         return _predict_section(int(args[0]), int(args[1]))
     if kind == "ceiling":

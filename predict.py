@@ -54,9 +54,11 @@ def make_colors(num_classes: int):
     return [(int(r * 255), int(g * 255), int(b * 255)) for r, g, b in colors]
 
 
-def load_model(model_name: str, model_path: str, num_classes: int, input_size: int, amp: bool):
+def load_model(model_name: str, model_path: str, num_classes: int,
+               input_size: int, amp: bool, decoder_width: float = 1.0):
     dtype = jnp.bfloat16 if amp else None
-    model = build_model(model_name, num_classes=num_classes, dtype=dtype)
+    model = build_model(model_name, num_classes=num_classes, dtype=dtype,
+                        decoder_width=decoder_width)
     variables = checkpoint.restore_variables(model_path)
     predict_fn = steps.make_predict_fn(model)
     return predict_fn, variables
@@ -178,7 +180,8 @@ def predict(args):
     assert os.path.exists(args.weights), f"weights {args.weights} not found."
 
     predict_fn, variables = load_model(
-        args.model, args.weights, num_classes, args.input_size, args.amp
+        args.model, args.weights, num_classes, args.input_size, args.amp,
+        decoder_width=args.decoder_width,
     )
 
     if os.path.isdir(args.data_path):
@@ -231,6 +234,10 @@ def parse_args(argv=None):
                         help="Foreground classes (output channels = this + 1)")
     parser.add_argument("--model", default="unet_resnet50",
                         choices=sorted(SUPPORTED_MODELS.keys()))
+    parser.add_argument("--decoder-width", default=1.0, type=float,
+                        help="unet_resnet50 only: must match the width the "
+                             "checkpoint was trained with (train.py "
+                             "--decoder-width)")
     parser.add_argument("--input-size", default=480, type=int,
                         help="Inference letterbox size (reference hardcodes 480)")
     parser.add_argument("--mix_type", default=True,

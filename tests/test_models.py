@@ -128,6 +128,53 @@ class TestModels:
             models.build_model("nope", num_classes=2)
 
 
+class TestDecoderWidth:
+    """unet_resnet50 decoder_width: the opt-in MXU-utilization lever
+    (unet_resnet.py module docstring). Non-parity — defaults stay 1.0."""
+
+    def test_wide_decoder_shapes_and_widths(self):
+        model = models.build_model("unet_resnet50", num_classes=2,
+                                   decoder_width=2.0)
+        x = jnp.zeros((1, 64, 64, 3))
+        logits, variables = _init_and_apply(model, x)
+        assert logits.shape == (1, 64, 64, 2)
+        # Every decoder stage doubles: up_concat1..4 = 128/256/512/1024.
+        params = variables["params"]
+        for stage, width in [("up_concat1", 128), ("up_concat2", 256),
+                             ("up_concat3", 512), ("up_concat4", 1024),
+                             ("up_conv", 128)]:
+            k = params[stage]["conv2"]["kernel"]
+            assert k.shape[-1] == width, (stage, k.shape)
+
+    def test_base_checkpoint_restores_backbone_only(self):
+        """Flexible restore across widths: the shared ResNet50 encoder loads,
+        the width-mismatched decoder entries are skipped (not an error)."""
+        rng = jax.random.PRNGKey(0)
+        base = models.build_model("unet_resnet50", num_classes=2)
+        wide = models.build_model("unet_resnet50", num_classes=2,
+                                  decoder_width=2.0)
+        x = jnp.zeros((1, 32, 32, 3))
+        base_vars = base.init({"params": rng}, x, train=False)
+        wide_vars = wide.init({"params": rng}, x, train=False)
+        merged, loaded, skipped = models.load_weights_flexible(
+            dict(wide_vars), dict(base_vars)
+        )
+        n_backbone = len(
+            jax.tree.leaves({"params": base_vars["params"]["resnet"],
+                             "batch_stats": base_vars["batch_stats"]})
+        )
+        assert loaded >= n_backbone  # full encoder transfers
+        assert skipped > 0  # decoder widths differ
+        np.testing.assert_array_equal(
+            merged["params"]["resnet"]["conv1"]["kernel"],
+            base_vars["params"]["resnet"]["conv1"]["kernel"],
+        )
+
+    def test_width_rejected_for_other_models(self):
+        with pytest.raises(ValueError, match="decoder_width"):
+            models.build_model("unet_plain", num_classes=2, decoder_width=2.0)
+
+
 class TestDiffHead:
     """blocks.ClassHead diff mode: the binary-train fast head."""
 

@@ -65,7 +65,8 @@ def create_model_and_state(args, num_classes, rng, tx):
     dtype = jnp.bfloat16 if args.amp else None
     if args.task == "multitask":
         model = build_model(
-            args.model, num_classes=1, num_seg_classes=1, num_cls_classes=3, dtype=dtype
+            args.model, num_classes=1, num_seg_classes=1, num_cls_classes=3,
+            dtype=dtype, decoder_width=args.decoder_width,
         )
     else:
         # Binary training uses the diff head (blocks.ClassHead): identical
@@ -75,6 +76,7 @@ def create_model_and_state(args, num_classes, rng, tx):
         model = build_model(
             args.model, num_classes=num_classes, dtype=dtype,
             diff_head=(args.task == "binary"),
+            decoder_width=args.decoder_width,
         )
     variables = init_model(model, rng, (args.input_size, args.input_size))
     if args.weights:
@@ -663,6 +665,7 @@ def train(args):
                 vis_model = build_model(
                     args.model, num_classes=num_classes,
                     dtype=jnp.bfloat16 if args.amp else None,
+                    decoder_width=args.decoder_width,
                 )
             predict_fn = steps.make_predict_fn(vis_model)
             export_binary_visuals(
@@ -735,6 +738,11 @@ def parse_args(argv=None):
     parser.add_argument("--model", default="unet_resnet50",
                         choices=sorted(SUPPORTED_MODELS.keys()),
                         help="Model architecture (use 'multitask_unet' for multitask)")
+    parser.add_argument("--decoder-width", default=1.0, type=float,
+                        help="unet_resnet50 only: decoder width multiplier "
+                             "(TPU MXU-utilization lever, not in the "
+                             "reference; 1.0 = reference-parity decoder; "
+                             "checkpoints are width-specific)")
     parser.add_argument("--cls-loss-weight", default=1.0, type=float,
                         help="For multitask only: classification loss weight")
     parser.add_argument("--loss", default="lovasz_hinge",

@@ -37,6 +37,7 @@ def build_model(
     num_cls_classes: int = 3,
     dtype: Any = None,
     diff_head: bool = False,
+    decoder_width: float = 1.0,
 ) -> nn.Module:
     """Construct a model by registry name (model_factory.py:22-38).
 
@@ -44,10 +45,18 @@ def build_model(
     parameters always stay float32. ``diff_head=True`` (binary training fast
     path) makes the model return the binary logit difference (N, H, W)
     instead of 2-channel logits — same parameters, see blocks.ClassHead.
+    ``decoder_width`` (unet_resnet50 only) is the opt-in MXU-utilization
+    width multiplier — see unet_resnet.py's module docstring; 1.0 is the
+    reference-parity architecture.
     """
     if model_name not in SUPPORTED_MODELS:
         raise ValueError(
             f"Unsupported model: {model_name}. Supported: {sorted(SUPPORTED_MODELS.keys())}"
+        )
+    if decoder_width != 1.0 and model_name != "unet_resnet50":
+        raise ValueError(
+            "decoder_width is a unet_resnet50 option (the C=64 decoder tail "
+            f"is its utilization cap); got {decoder_width} for {model_name}"
         )
     if model_name == "multitask_unet":
         if diff_head:
@@ -56,6 +65,11 @@ def build_model(
             num_seg_classes=num_seg_classes,
             num_cls_classes=num_cls_classes,
             dtype=dtype,
+        )
+    if model_name == "unet_resnet50":
+        return UNetResNet50(
+            num_classes=num_classes, dtype=dtype, diff_head=diff_head,
+            decoder_width=decoder_width,
         )
     return SUPPORTED_MODELS[model_name](
         num_classes=num_classes, dtype=dtype, diff_head=diff_head

@@ -79,9 +79,11 @@ def val(args):
     dtype = jnp.bfloat16 if args.amp else None
     if args.task == "multitask":
         model = build_model(args.model, num_classes=1, num_seg_classes=1,
-                            num_cls_classes=3, dtype=dtype)
+                            num_cls_classes=3, dtype=dtype,
+                            decoder_width=args.decoder_width)
     else:
-        model = build_model(args.model, num_classes=num_classes, dtype=dtype)
+        model = build_model(args.model, num_classes=num_classes, dtype=dtype,
+                            decoder_width=args.decoder_width)
     variables = init_model(model, rng, (args.input_size, args.input_size))
     variables = checkpoint.restore_variables(args.weights)
     print(f"Model loaded from: {args.weights}")
@@ -202,6 +204,10 @@ def parse_args(argv=None):
     parser.add_argument("--weights", default="run/train/exp/weights/best.msgpack")
     parser.add_argument("--task", default="binary",
                         choices=["binary", "multiclass", "multitask"])
+    parser.add_argument("--decoder-width", default=1.0, type=float,
+                        help="unet_resnet50 only: must match the width the "
+                             "checkpoint was trained with (train.py "
+                             "--decoder-width)")
     parser.add_argument("--model", default="unet_resnet50",
                         choices=sorted(SUPPORTED_MODELS.keys()))
     parser.add_argument("--loss", default="lovasz_hinge",
