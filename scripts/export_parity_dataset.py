@@ -29,7 +29,8 @@ def export(args) -> None:
 
     sizes = {"train": args.train, "validation": args.val, "test": args.test}
     for split, n in sizes.items():
-        source = SyntheticSource(split=split, length=n, seed=args.seed)
+        source = SyntheticSource(split=split, length=n, seed=args.seed,
+                                 mask_classes=args.mask_classes)
         data = {"image": [], "mask": [], "label": [], "filename": []}
         for i in range(len(source)):
             s = source[i]
@@ -66,6 +67,9 @@ def parse_args(argv=None):
     p.add_argument("--val", type=int, default=16)
     p.add_argument("--test", type=int, default=16)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--mask-classes", type=int, default=1,
+                   help=">1: multiclass masks (blob pixels get class ids "
+                        "1..K) for the multiclass parity study")
     return p.parse_args(argv)
 
 

@@ -38,7 +38,20 @@ def ensure_ref_copy() -> None:
 CONFIGS = {
     "plain_bce": {"model": "unet_plain", "loss": "bce"},
     "resnet_lovasz": {"model": "unet_resnet50", "loss": "lovasz_hinge"},
+    # Multiclass leg: CE(+dice default) over 4 foreground classes on a
+    # 4-class variant of the synthetic dataset (auto-exported to
+    # <--data>_mc4). Metric keys follow the reference's evaluate()
+    # (/root/reference/utils/train_and_eval.py:488-495).
+    "plain_ce_mc": {"model": "unet_plain", "loss": "ce",
+                    "task": "multiclass", "num_classes": 4,
+                    "mask_classes": 4},
 }
+
+# Every metric key either task's test_metrics.json may carry.
+METRIC_KEYS = (
+    "IoU", "Dice", "Precision", "Recall",
+    "Pixel Accuracy", "Mean Accuracy", "Mean IoU", "Frequency Weighted IoU",
+)
 
 
 def newest_exp(root: str) -> str:
@@ -46,16 +59,39 @@ def newest_exp(root: str) -> str:
     return max(exps, key=os.path.getmtime)
 
 
+def config_data_dir(cfg: dict, args) -> str:
+    """Dataset dir for a config; multiclass uses a _mcK sibling export."""
+    k = cfg.get("mask_classes", 1)
+    return args.data if k == 1 else f"{args.data}_mc{k}"
+
+
+def ensure_dataset(cfg: dict, args) -> None:
+    data = config_data_dir(cfg, args)
+    if os.path.isdir(os.path.join(data, "no-ai")):
+        return
+    print(f"[export] {data} (mask_classes={cfg.get('mask_classes', 1)})",
+          flush=True)
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts",
+                                      "export_parity_dataset.py"),
+         "--out", data, "--mask-classes", str(cfg.get("mask_classes", 1))],
+        check=True,
+    )
+
+
 def run_one(framework: str, cfg: dict, seed: int, args) -> dict:
     cwd = REF if framework == "ref" else REPO
+    task = cfg.get("task", "binary")
     cmd = [
         sys.executable, "train.py",
-        "--data-path", args.data, "--data-config", "no-ai",
-        "--task", "binary", "--model", cfg["model"], "--loss", cfg["loss"],
+        "--data-path", config_data_dir(cfg, args), "--data-config", "no-ai",
+        "--task", task, "--model", cfg["model"], "--loss", cfg["loss"],
         "--epochs", str(args.epochs), "--batch-size", "8",
         "--input-size", str(args.input_size), "--seed", str(seed),
         "--weights", "",
     ]
+    if task == "multiclass":
+        cmd += ["--num-classes", str(cfg["num_classes"])]
     if framework == "ref":
         cmd += ["--device", "cpu", "--no-amp", "--workers", "0"]
     else:
@@ -116,6 +152,7 @@ def main() -> None:
 
     for name in args.configs:
         cfg = CONFIGS[name]
+        ensure_dataset(cfg, args)
         for framework in ("ref", "ours"):
             if args.only and framework != args.only:
                 continue
@@ -145,9 +182,7 @@ def main() -> None:
                     continue
                 tm = run_one(framework, cfg, seed, args)
                 by_seed[str(seed)] = {
-                    k: float(tm[k])
-                    for k in ("IoU", "Dice", "Precision", "Recall")
-                    if k in tm
+                    k: float(tm[k]) for k in METRIC_KEYS if k in tm
                 }
                 print(f"  seed {seed}: {tm}", flush=True)
                 _write(args.out, results, entry)

@@ -85,6 +85,10 @@ class SyntheticSource:
     length: int | None = None
     seed: int = 0
     size_range: tuple[int, int] = (320, 768)
+    # >1: each blob's mask pixel is a class id in 1..mask_classes (for
+    # multiclass parity studies). The default 1 draws no extra random
+    # numbers, so existing binary streams stay bit-identical.
+    mask_classes: int = 1
 
     def __post_init__(self):
         if self.length is None:
@@ -111,7 +115,11 @@ class SyntheticSource:
             color = tuple(int(v) for v in rng.integers(0, 256, 3))
             box = (cx - rx, cy - ry, cx + rx, cy + ry)
             idraw.ellipse(box, fill=color)
-            mdraw.ellipse(box, fill=1)
+            fill = (
+                1 if self.mask_classes == 1
+                else int(rng.integers(1, self.mask_classes + 1))
+            )
+            mdraw.ellipse(box, fill=fill)
         cls = CLASS_NAMES[int(rng.integers(0, 3))]
         return {
             "image": image,
