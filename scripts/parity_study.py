@@ -45,12 +45,18 @@ CONFIGS = {
     "plain_ce_mc": {"model": "unet_plain", "loss": "ce",
                     "task": "multiclass", "num_classes": 4,
                     "mask_classes": 4},
+    # Multitask leg (seg BCE + 3-way cls CE) on the binary dataset — its
+    # labels already carry the class-name prefixes both loaders parse.
+    # Keys per /root/reference/train.py:455-460.
+    "multitask_bce": {"model": "multitask_unet", "loss": "bce",
+                      "task": "multitask"},
 }
 
-# Every metric key either task's test_metrics.json may carry.
+# Every metric key any task's test_metrics.json may carry.
 METRIC_KEYS = (
     "IoU", "Dice", "Precision", "Recall",
     "Pixel Accuracy", "Mean Accuracy", "Mean IoU", "Frequency Weighted IoU",
+    "Cls Acc",
 )
 
 
@@ -98,9 +104,19 @@ def run_one(framework: str, cfg: dict, seed: int, args) -> dict:
         # --defer-ckpt: on this host the device link is ~10 MB/s, so the
         # reference-parity per-epoch best/last writes would dominate these
         # tiny-dataset epochs; the study only consumes end-of-run artifacts.
-        cmd += ["--device-augment", "--ckpt-every", "0", "--defer-ckpt"]
+        cmd += ["--ckpt-every", "0", "--defer-ckpt"]
+        if args.ours_platform == "cpu":
+            # XLA-CPU fallback (TPU relay down): the host-augment per-batch
+            # path compiles fine on CPU, while the resident scan-chunked
+            # path takes hours to compile there. f32 to match the ref leg.
+            cmd += ["--no-amp", "--workers", "2"]
+        else:
+            cmd += ["--device-augment"]
     env = dict(os.environ)
     env.setdefault("OMP_NUM_THREADS", "8")
+    if framework == "ours" and args.ours_platform == "cpu":
+        env["PALLAS_AXON_POOL_IPS"] = ""
+        env["JAX_PLATFORMS"] = "cpu"
     print(f"[{framework}] {cfg['model']}+{cfg['loss']} seed={seed}", flush=True)
     res = subprocess.run(cmd, cwd=cwd, env=env, capture_output=True, text=True)
     if res.returncode != 0:
@@ -135,6 +151,11 @@ def main() -> None:
     p.add_argument("--input-size", type=int, default=128)
     p.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
     p.add_argument("--only", choices=["ours", "ref"], default=None)
+    p.add_argument("--ours-platform", choices=["default", "cpu"],
+                   default="default",
+                   help="'cpu' runs the ours legs on XLA-CPU (f32, "
+                        "host-augment) — relay-outage fallback; recorded "
+                        "in the entry so regimes never mix")
     p.add_argument("--configs", nargs="+", default=list(CONFIGS),
                    choices=list(CONFIGS))
     p.add_argument("--out", default=os.path.join(REPO, "PARITY_RESULTS.json"))
@@ -164,16 +185,21 @@ def main() -> None:
             # train.resolve_amp_default — which moved to f32 for
             # resnet50+lovasz mid-study, and mixing dtypes in one
             # mean±std would corrupt the parity evidence.
-            amp_eff = (
-                False if framework == "ref"
-                else resolve_amp_default(cfg["model"], cfg["loss"])
-            )
+            if framework == "ref":
+                amp_eff, platform = False, "cpu"
+            elif args.ours_platform == "cpu":
+                amp_eff, platform = False, "cpu-hostaug"
+            else:
+                amp_eff = resolve_amp_default(cfg["model"], cfg["loss"])
+                platform = "tpu"
             if (
-                entry.get("epochs"), entry.get("input_size"), entry.get("amp")
-            ) != (args.epochs, args.input_size, amp_eff):
+                entry.get("epochs"), entry.get("input_size"),
+                entry.get("amp"), entry.get("platform"),
+            ) != (args.epochs, args.input_size, amp_eff, platform):
                 entry.clear()
             entry.update(
-                epochs=args.epochs, input_size=args.input_size, amp=amp_eff
+                epochs=args.epochs, input_size=args.input_size,
+                amp=amp_eff, platform=platform,
             )
             by_seed = entry.setdefault("by_seed", {})
             for seed in args.seeds:
