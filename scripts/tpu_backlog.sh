@@ -1,0 +1,43 @@
+#!/usr/bin/env bash
+# TPU-relay recovery runbook: the measurement backlog queued behind the
+# 2026-08-17 relay outage (ROADMAP.md), in priority order. Run from the
+# repo root as soon as `python bench.py` 's probe section succeeds.
+#
+# Hard-won rules encoded here (docs/negative-results, ROADMAP traps):
+#   * NEVER kill a TPU client mid-cold-compile — that is what wedged the
+#     relay for 12+ h. Every step below therefore uses very long per-
+#     section timeouts (BENCH_SECTION_TIMEOUT=3600) and 1 retry, so the
+#     supervisor never SIGKILLs a compiling child.
+#   * SIGSTOP any CPU-hog background work (torch parity legs) first: the
+#     relay heartbeat-starves and silently SIGKILLs TPU clients when the
+#     single host core is contended.  kill -STOP <pid> ... kill -CONT.
+#   * Warm the persistent compile cache BEFORE the driver's own bench run:
+#     step 1 compiles every headline shape; the end-of-round bench then
+#     hits warm cache (30-40 s/section instead of 10-25 min cold).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+export BENCH_RETRIES=1 BENCH_SECTION_TIMEOUT=3600 BENCH_PROBE_TIMEOUT=300
+
+echo "== [0/5] relay probe =="
+BENCH_SECTION=probe timeout 300 python bench.py || {
+  echo "relay still down; aborting backlog" >&2; exit 1; }
+
+echo "== [1/5] full bench (warms every headline shape; BENCH JSON) =="
+python bench.py | tee /tmp/bench_backlog.json
+
+echo "== [2/5] converged f32 parity seeds 1-2 (decides the amp default) =="
+python scripts/parity_variants.py --epochs 40 --input-size 256 \
+  --seeds 1 2 --variants f32
+
+echo "== [3/5] serving sweep, coarse grid first (fewest fresh shapes) =="
+python scripts/serving_sweep.py --sizes 480 512 --batches 1 8 32
+echo "== [3b/5] serving sweep, full grid (resumes; adds 256^2 + b2/4/16) =="
+python scripts/serving_sweep.py
+
+echo "== [4/5] decoder-width MXU row (non-parity lever, ROADMAP) =="
+BENCH_SECTION=train:8:bce:w2 python bench.py | tee /tmp/bench_w2.json
+
+echo "== [5/5] multiclass parity legs on TPU (if CPU legs were used) =="
+echo "   (optional; CPU-hostaug legs are recorded with their platform)"
+echo "backlog complete — fold results into ROADMAP.md / PARITY.md / SERVING.md"
