@@ -45,8 +45,15 @@ def main() -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--sizes", type=int, nargs="+", default=[256, 480, 512])
     p.add_argument("--batches", type=int, nargs="+", default=[1, 2, 4, 8, 16, 32])
-    p.add_argument("--retries", type=int, default=3)
-    p.add_argument("--timeout", type=float, default=1500.0)
+    # Defaults defer to the env the recovery runbook (scripts/tpu_backlog.sh)
+    # exports: killing a client mid-cold-compile is what wedged the relay for
+    # 12+ h, and a single fresh-shape predict compile has been observed to
+    # exceed 25 min — so per-point timeouts must be LONG and retries few.
+    p.add_argument("--retries", type=int,
+                   default=int(os.environ.get("BENCH_RETRIES", "1")))
+    p.add_argument("--timeout", type=float,
+                   default=float(os.environ.get("BENCH_SECTION_TIMEOUT",
+                                                "3600")))
     p.add_argument("--out", default=os.path.join(REPO, "SERVING.json"))
     args = p.parse_args()
 
