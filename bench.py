@@ -350,6 +350,57 @@ def _run_sub(spec: str) -> dict | None:
     return None
 
 
+def _last_known_good() -> dict | None:
+    """Newest prior-round BENCH_r*.json with a real measurement.
+
+    Attached (clearly labeled) to the error JSON when the relay is down at
+    bench time, so the round artifact still references the established
+    numbers instead of only a null.
+    """
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best = None
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        if "tail" in data and "value" not in data:
+            # Driver wrapper format: the bench JSON is the last parseable
+            # line of the captured stdout tail.
+            for line in reversed(str(data["tail"]).strip().splitlines()):
+                try:
+                    data = json.loads(line)
+                    break
+                except json.JSONDecodeError:
+                    continue
+            else:
+                continue
+        if not isinstance(data, dict) or data.get("value") is None:
+            continue
+        rnd = int(m.group(1))
+        if best is None or rnd > best[0]:
+            best = (rnd, data)
+    if best is None:
+        return None
+    rnd, data = best
+    return {
+        "source": f"BENCH_r{rnd:02d}.json",
+        "metric": data.get("metric"),
+        "value": data.get("value"),
+        "unit": data.get("unit"),
+        "ms_per_step": data.get("ms_per_step"),
+        "model_tflops_per_sec": data.get("model_tflops_per_sec"),
+        "pct_of_matmul_peak": data.get("pct_of_matmul_peak"),
+    }
+
+
 def supervise() -> None:
     size = int(os.environ.get("BENCH_SIZE", "512"))
     batches = [int(b) for b in os.environ.get("BENCH_BATCHES", "8,16").split(",")]
@@ -409,6 +460,9 @@ def supervise() -> None:
     }
     if relay_error:
         out["error"] = relay_error
+        lkg = _last_known_good()
+        if lkg:
+            out["last_known_good"] = lkg
     for b in batches[1:]:
         out[f"b{b}"] = results.get(b)
     if lovasz is not None:
