@@ -350,7 +350,7 @@ def _run_sub(spec: str) -> dict | None:
     return None
 
 
-def _last_known_good() -> dict | None:
+def _last_known_good(here: str | None = None) -> dict | None:
     """Newest prior-round BENCH_r*.json with a real measurement.
 
     Attached (clearly labeled) to the error JSON when the relay is down at
@@ -360,7 +360,8 @@ def _last_known_good() -> dict | None:
     import glob
     import re
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    if here is None:
+        here = os.path.dirname(os.path.abspath(__file__))
     best = None
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)

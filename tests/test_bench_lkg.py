@@ -1,0 +1,74 @@
+"""bench._last_known_good: the relay-outage fallback block in the BENCH JSON.
+
+When the TPU relay is down at bench time, supervise() emits an error JSON
+and attaches the newest prior round's real numbers. Two on-disk formats
+exist: a plain bench JSON, and the driver's wrapper ({"tail": "<stdout>"})
+whose last parseable line is the bench JSON. Both are pinned here.
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import bench  # noqa: E402
+
+
+def _write(tmp_path, name, obj):
+    (tmp_path / name).write_text(json.dumps(obj))
+
+
+def _bench_json(value, ms):
+    return {
+        "metric": "train images/sec (unet_resnet50 bce 512x512 b8 bf16)",
+        "value": value,
+        "unit": "images/sec",
+        "ms_per_step": ms,
+        "model_tflops_per_sec": 75.7,
+        "pct_of_matmul_peak": 40.7,
+    }
+
+
+def test_picks_newest_round_with_a_real_value(tmp_path):
+    _write(tmp_path, "BENCH_r01.json", _bench_json(125.0, 64.0))
+    _write(tmp_path, "BENCH_r02.json", _bench_json(131.6, 60.8))
+    lkg = bench._last_known_good(str(tmp_path))
+    assert lkg["source"] == "BENCH_r02.json"
+    assert lkg["value"] == 131.6
+    assert lkg["ms_per_step"] == 60.8
+
+
+def test_skips_error_rounds_without_a_value(tmp_path):
+    _write(tmp_path, "BENCH_r01.json", _bench_json(125.0, 64.0))
+    _write(tmp_path, "BENCH_r03.json",
+           {"metric": "train images/sec", "value": None,
+            "error": "tpu relay unreachable"})
+    lkg = bench._last_known_good(str(tmp_path))
+    assert lkg["source"] == "BENCH_r01.json"
+    assert lkg["value"] == 125.0
+
+
+def test_unwraps_driver_tail_format(tmp_path):
+    # The driver records bench stdout as {"tail": ...}; progress lines and
+    # the JSON line are interleaved — the last parseable line wins.
+    tail = "\n".join([
+        "[bench] section train:8:bce (attempt 1/3)",
+        "not json {",
+        json.dumps(_bench_json(131.6, 60.8)),
+    ])
+    _write(tmp_path, "BENCH_r02.json", {"tail": tail})
+    lkg = bench._last_known_good(str(tmp_path))
+    assert lkg["source"] == "BENCH_r02.json"
+    assert lkg["value"] == 131.6
+    assert lkg["pct_of_matmul_peak"] == 40.7
+
+
+def test_ignores_garbage_and_returns_none_when_nothing_usable(tmp_path):
+    (tmp_path / "BENCH_r01.json").write_text("not json at all")
+    _write(tmp_path, "BENCH_r02.json", {"tail": "no parseable line here"})
+    _write(tmp_path, "BENCH_rX.json", _bench_json(999.0, 1.0))  # bad name
+    assert bench._last_known_good(str(tmp_path)) is None
+    # Empty dir, too.
+    empty = tmp_path / "empty"
+    os.makedirs(empty)
+    assert bench._last_known_good(str(empty)) is None
