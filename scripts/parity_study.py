@@ -60,9 +60,40 @@ METRIC_KEYS = (
 )
 
 
-def newest_exp(root: str) -> str:
-    exps = glob.glob(os.path.join(root, "run", "train", "exp*"))
-    return max(exps, key=os.path.getmtime)
+def exp_dirs(root: str) -> set[str]:
+    return set(glob.glob(os.path.join(root, "run", "train", "exp*")))
+
+
+def resolve_run_exp(root: str, before: set[str], model: str, loss: str,
+                    seed: int) -> str:
+    """The exp dir belonging to the run just launched.
+
+    mtime-newest was silently wrong whenever anything else created exp dirs
+    while a leg ran (observed: a verify train during a multi-hour CPU parity
+    leg) — it would attribute a stranger's test_metrics.json to this seed.
+    Instead: prefer dirs NEW since the pre-launch snapshot whose config.json
+    matches the launched (model, loss, seed); fall back to any matching dir
+    (a recreated folder can predate the snapshot), newest first.
+    """
+
+    def matches(d: str) -> bool:
+        try:
+            with open(os.path.join(d, "config.json")) as f:
+                c = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return False
+        return (c.get("model") == model and c.get("loss") == loss
+                and c.get("seed") == seed)
+
+    cand = [d for d in exp_dirs(root) - before if matches(d)]
+    if not cand:
+        cand = [d for d in exp_dirs(root) if matches(d)]
+    if not cand:
+        raise RuntimeError(
+            f"no run/train/exp* dir with config (model={model}, loss={loss}, "
+            f"seed={seed}) under {root} — run crashed before config.json?"
+        )
+    return max(cand, key=os.path.getmtime)
 
 
 def config_data_dir(cfg: dict, args) -> str:
@@ -118,11 +149,12 @@ def run_one(framework: str, cfg: dict, seed: int, args) -> dict:
         env["PALLAS_AXON_POOL_IPS"] = ""
         env["JAX_PLATFORMS"] = "cpu"
     print(f"[{framework}] {cfg['model']}+{cfg['loss']} seed={seed}", flush=True)
+    before = exp_dirs(cwd)
     res = subprocess.run(cmd, cwd=cwd, env=env, capture_output=True, text=True)
     if res.returncode != 0:
         print(res.stdout[-3000:], res.stderr[-3000:], sep="\n", flush=True)
         raise RuntimeError(f"{framework} run failed (rc={res.returncode})")
-    exp = newest_exp(cwd)
+    exp = resolve_run_exp(cwd, before, cfg["model"], cfg["loss"], seed)
     tm_path = os.path.join(exp, "test_metrics.json")
     if not os.path.exists(tm_path):
         # train.py exits 0 even when test eval fails ('[WARN] Skip test

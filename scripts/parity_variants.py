@@ -31,7 +31,7 @@ import subprocess
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from parity_study import newest_exp  # shared exp-dir resolution
+from parity_study import exp_dirs, resolve_run_exp  # shared exp-dir resolution
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -76,12 +76,15 @@ def main() -> None:
                 "--weights", "", "--ckpt-every", "0", "--defer-ckpt",
             ] + VARIANTS[name]
             print(f"[variant] {name} seed={seed}", flush=True)
+            before = exp_dirs(REPO)
             res = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
             if res.returncode != 0:
                 print(res.stdout[-3000:], res.stderr[-3000:], sep="\n",
                       flush=True)
                 raise RuntimeError(f"{name} seed={seed} failed")
-            tm_path = os.path.join(newest_exp(REPO), "test_metrics.json")
+            exp = resolve_run_exp(REPO, before, "unet_resnet50",
+                                  "lovasz_hinge", seed)
+            tm_path = os.path.join(exp, "test_metrics.json")
             if not os.path.exists(tm_path):
                 raise RuntimeError(
                     f"{name} seed={seed}: run produced no test_metrics.json "
