@@ -89,15 +89,12 @@ def main() -> None:
     import numpy as np
 
     from unet_embroidery_seg_tpu.engine import checkpoint
-    from unet_embroidery_seg_tpu.models import build_model, init_model
+    from unet_embroidery_seg_tpu.models import build_model
 
     model = build_model(
         args.model, num_classes=args.num_classes + 1,
         dtype=jnp.bfloat16 if args.amp else None,
         decoder_width=args.decoder_width,
-    )
-    variables = init_model(
-        model, jax.random.PRNGKey(0), (args.input_size, args.input_size)
     )
     variables = checkpoint.restore_variables(args.weights)
     predict = build_predict(model)
