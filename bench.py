@@ -315,7 +315,10 @@ def _relay_up(attempts: int = 2) -> bool:
 
 def _run_sub(spec: str) -> dict | None:
     retries = int(os.environ.get("BENCH_RETRIES", "3"))
-    timeout = float(os.environ.get("BENCH_SECTION_TIMEOUT", "1500"))
+    # Default must exceed the observed worst-case fresh-shape cold compile
+    # (>25 min through the remote-compile relay): killing a client
+    # mid-cold-compile is what wedged the relay for 12+ h (tpu_backlog.sh).
+    timeout = float(os.environ.get("BENCH_SECTION_TIMEOUT", "3600"))
     env = dict(os.environ, BENCH_SECTION=spec)
     for attempt in range(1, retries + 1):
         _progress(f"section {spec} (attempt {attempt}/{retries})")
@@ -424,7 +427,7 @@ def supervise() -> None:
         if os.environ.get("BENCH_PREDICT", "1") != "0":
             predict_rows = {}
             for psize in dict.fromkeys((480, size)):
-                for pb in (1, b0):
+                for pb in dict.fromkeys((1, b0)):
                     predict_rows[f"b{pb}_{psize}"] = _run_sub(
                         f"predict:{psize}:{pb}")
         ceiling_out = _run_sub("ceiling")

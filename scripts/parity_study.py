@@ -168,6 +168,30 @@ def run_one(framework: str, cfg: dict, seed: int, args) -> dict:
         return json.load(f)
 
 
+def ensure_regime(results: dict, key: str, epochs: int, input_size: int,
+                  amp: bool, platform: str) -> dict:
+    """The results entry for ``key``, valid for exactly this regime.
+
+    A regime change must not mix seeds measured under different settings in
+    one mean±std — but the superseded seeds are multi-hour legs, so they are
+    ARCHIVED under a regime-tagged key, never destroyed (an earlier clear()
+    would have erased the committed screening evidence whenever a default,
+    e.g. resolve_amp_default, moved mid-study).
+    """
+    entry = results.setdefault(key, {})
+    old = (entry.get("epochs"), entry.get("input_size"),
+           entry.get("amp"), entry.get("platform"))
+    if entry and old != (epochs, input_size, amp, platform):
+        tag = f"{key}@e{old[0]}_i{old[1]}_amp{old[2]}_{old[3]}"
+        results[tag] = dict(entry)
+        print(f"[regime] {key}: previous regime archived as {tag!r}",
+              flush=True)
+        entry.clear()
+    entry.update(epochs=epochs, input_size=input_size, amp=amp,
+                 platform=platform)
+    return entry
+
+
 def summarize(vals: list[float]) -> dict:
     return {
         "mean": round(statistics.mean(vals), 4),
@@ -210,7 +234,6 @@ def main() -> None:
             if args.only and framework != args.only:
                 continue
             key = f"{name}/{framework}"
-            entry = results.setdefault(key, {})
             # Regime change invalidates cached per-seed runs. The regime
             # includes the EFFECTIVE compute dtype of a defaults run: the
             # ref CPU legs are always f32 (--no-amp below), ours follow
@@ -224,14 +247,8 @@ def main() -> None:
             else:
                 amp_eff = resolve_amp_default(cfg["model"], cfg["loss"])
                 platform = "tpu"
-            if (
-                entry.get("epochs"), entry.get("input_size"),
-                entry.get("amp"), entry.get("platform"),
-            ) != (args.epochs, args.input_size, amp_eff, platform):
-                entry.clear()
-            entry.update(
-                epochs=args.epochs, input_size=args.input_size,
-                amp=amp_eff, platform=platform,
+            entry = ensure_regime(
+                results, key, args.epochs, args.input_size, amp_eff, platform
             )
             by_seed = entry.setdefault("by_seed", {})
             for seed in args.seeds:

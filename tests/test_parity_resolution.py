@@ -15,7 +15,7 @@ import pytest
 
 sys.path.insert(0, os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"))
-from parity_study import exp_dirs, resolve_run_exp  # noqa: E402
+from parity_study import ensure_regime, exp_dirs, resolve_run_exp  # noqa: E402
 
 
 def _mk_exp(root, name, model, loss, seed):
@@ -65,6 +65,40 @@ def test_raises_when_nothing_matches(tmp_path):
     _mk_exp(root, "exp", "unet_plain", "bce", 0)
     with pytest.raises(RuntimeError, match="seed=3"):
         resolve_run_exp(root, set(), "unet_plain", "bce", 3)
+
+
+def test_regime_match_preserves_recorded_seeds():
+    results = {"plain_bce/ref": {
+        "epochs": 15, "input_size": 128, "amp": False, "platform": "cpu",
+        "by_seed": {"0": {"IoU": 0.5}},
+    }}
+    entry = ensure_regime(results, "plain_bce/ref", 15, 128, False, "cpu")
+    assert entry["by_seed"] == {"0": {"IoU": 0.5}}
+    assert set(results) == {"plain_bce/ref"}
+
+
+def test_regime_change_archives_instead_of_destroying():
+    # Multi-hour legs must survive a mid-study default flip (e.g.
+    # resolve_amp_default moving resnet50+lovasz to f32): the old regime is
+    # archived under a tagged key, and the live entry restarts empty.
+    old_seeds = {"0": {"IoU": 0.24}, "1": {"IoU": 0.26}}
+    results = {"resnet_lovasz/ours": {
+        "epochs": 15, "input_size": 128, "amp": True, "platform": "tpu",
+        "by_seed": dict(old_seeds),
+    }}
+    entry = ensure_regime(results, "resnet_lovasz/ours", 15, 128, False, "tpu")
+    assert "by_seed" not in entry  # fresh regime starts empty
+    assert entry["amp"] is False
+    archived = results["resnet_lovasz/ours@e15_i128_ampTrue_tpu"]
+    assert archived["by_seed"] == old_seeds
+
+
+def test_fresh_key_initializes_regime():
+    results: dict = {}
+    entry = ensure_regime(results, "plain_bce/ours", 40, 256, True, "tpu")
+    assert entry == {"epochs": 40, "input_size": 256, "amp": True,
+                     "platform": "tpu"}
+    assert set(results) == {"plain_bce/ours"}
 
 
 def test_ignores_dirs_with_unreadable_config(tmp_path):

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from unet_embroidery_seg_tpu.data import CLASS_NAMES, DataLoader, SegmentationDataset, open_source
 from unet_embroidery_seg_tpu.data.cache import CanvasCache
 from unet_embroidery_seg_tpu.engine import TrainState, checkpoint, resident, steps
-from unet_embroidery_seg_tpu.models import SUPPORTED_MODELS, build_model, init_model
+from unet_embroidery_seg_tpu.models import SUPPORTED_MODELS, build_model
 from unet_embroidery_seg_tpu.ops import metrics as M
 from unet_embroidery_seg_tpu.ops import schedules
 from unet_embroidery_seg_tpu.utils import seed_everything
@@ -68,7 +68,7 @@ def val(args):
         print(f"Test samples: {len(dataset)}")
         loader = DataLoader(dataset, batch_size=1, shuffle=False, prefetch=2)
 
-    rng = seed_everything(11)
+    seed_everything(11)
     if args.amp is None:
         # Mirror train.py's per-config default so val reproduces the
         # test_metrics.json of a defaults training run (f32 for
@@ -84,7 +84,6 @@ def val(args):
     else:
         model = build_model(args.model, num_classes=num_classes, dtype=dtype,
                             decoder_width=args.decoder_width)
-    variables = init_model(model, rng, (args.input_size, args.input_size))
     variables = checkpoint.restore_variables(args.weights)
     print(f"Model loaded from: {args.weights}")
     print("Starting evaluation...\n")
