@@ -77,14 +77,14 @@ def test_import_forward_parity(name, kwargs, is_tuple):
         # ours: seg (N, H, W, 1) NHWC; ref (N, 1, H, W)
         np.testing.assert_allclose(
             np.transpose(np.asarray(seg_g), (0, 3, 1, 2)), seg_w,
-            atol=2e-3, rtol=1e-3,
+            atol=1e-5, rtol=1e-4,
         )
         np.testing.assert_allclose(np.asarray(cls_g), cls_w,
-                                   atol=2e-3, rtol=1e-3)
+                                   atol=1e-5, rtol=1e-4)
     else:
         np.testing.assert_allclose(
             np.transpose(np.asarray(got), (0, 3, 1, 2)),
-            want.numpy(), atol=2e-3, rtol=1e-3,
+            want.numpy(), atol=1e-5, rtol=1e-4,
         )
 
 
