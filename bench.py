@@ -484,11 +484,17 @@ def supervise() -> None:
 
 
 def main() -> None:
-    spec = os.environ.get("BENCH_SECTION")
-    if spec:
-        print(json.dumps(run_section(spec), allow_nan=False))
-    else:
-        supervise()
+    # Hold the driver-busy sentinel so background measurement chains
+    # (parity seeds, serving sweeps) pause between legs instead of
+    # contending this one-core host during a driver check.
+    from unet_embroidery_seg_tpu.utils.driver_gate import claim
+
+    with claim():
+        spec = os.environ.get("BENCH_SECTION")
+        if spec:
+            print(json.dumps(run_section(spec), allow_nan=False))
+        else:
+            supervise()
 
 
 if __name__ == "__main__":

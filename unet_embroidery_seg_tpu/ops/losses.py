@@ -206,12 +206,14 @@ def binary_segmentation_loss(
             # hinge error sorts last and gets ~0 Lovasz gradient weight.
             # Exact masking needs dynamic shapes. Anyone adding a caller with
             # ignore_index should validate the approximation first.
-            labels = jnp.where(valid, labels, (logits > 0).astype(jnp.float32))
-            # where (not sign*1e3): sign(0) == 0 would leave a zero-logit
-            # ignored pixel with hinge error 1 sorting mid-pack.
-            logits = jnp.where(
-                valid, logits, jnp.where(logits >= 0, 1e3, -1e3)
-            )
+            # Both forced values key on the SAME predicate (logits >= 0) so
+            # the forced label always matches the forced logit's sign: hinge
+            # error 1 - 1e3 = -999 sorts last with zero relu contribution. A
+            # mismatched predicate at logit == 0 would give error 1 + 1e3,
+            # sorting FIRST with the maximum Lovasz gradient weight.
+            pos = logits >= 0
+            labels = jnp.where(valid, labels, pos.astype(jnp.float32))
+            logits = jnp.where(valid, logits, jnp.where(pos, 1e3, -1e3))
         return lovasz_hinge(logits, labels, sample_mask=sample_mask)
     raise ValueError(f"Unsupported loss_name: {loss_name}")
 

@@ -75,7 +75,7 @@ def val(args):
         # resnet50+lovasz — PARITY.md; bf16 otherwise).
         from train import resolve_amp_default
 
-        args.amp = resolve_amp_default(args.model, args.loss)
+        args.amp = resolve_amp_default(args.model, args.loss, args.task)
     dtype = jnp.bfloat16 if args.amp else None
     if args.task == "multitask":
         model = build_model(args.model, num_classes=1, num_seg_classes=1,
