@@ -68,11 +68,14 @@ def export_init(seed: int) -> tuple[str, str]:
             cwd=REF, check=True,
         )
     if not os.path.exists(msgpack):
+        # CPU-only conversion: never let the template init touch the TPU
+        # relay (a bench section may hold it at this moment).
+        env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
         subprocess.run(
             [sys.executable, os.path.join("scripts", "import_torch_checkpoint.py"),
              "--weights", pth, "--out", msgpack,
              "--model", "unet_resnet50", "--task", "binary"],
-            cwd=REPO, check=True,
+            cwd=REPO, check=True, env=env,
         )
     return pth, msgpack
 
