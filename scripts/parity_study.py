@@ -169,7 +169,7 @@ def run_one(framework: str, cfg: dict, seed: int, args) -> dict:
 
 
 def ensure_regime(results: dict, key: str, epochs: int, input_size: int,
-                  amp: bool, platform: str) -> dict:
+                  amp: bool, platform: str, data: str = "parity_ds") -> dict:
     """The results entry for ``key``, valid for exactly this regime.
 
     A regime change must not mix seeds measured under different settings in
@@ -180,15 +180,16 @@ def ensure_regime(results: dict, key: str, epochs: int, input_size: int,
     """
     entry = results.setdefault(key, {})
     old = (entry.get("epochs"), entry.get("input_size"),
-           entry.get("amp"), entry.get("platform"))
-    if entry and old != (epochs, input_size, amp, platform):
-        tag = f"{key}@e{old[0]}_i{old[1]}_amp{old[2]}_{old[3]}"
+           entry.get("amp"), entry.get("platform"),
+           entry.get("data", "parity_ds"))
+    if entry and old != (epochs, input_size, amp, platform, data):
+        tag = f"{key}@e{old[0]}_i{old[1]}_amp{old[2]}_{old[3]}_{old[4]}"
         results[tag] = dict(entry)
         print(f"[regime] {key}: previous regime archived as {tag!r}",
               flush=True)
         entry.clear()
     entry.update(epochs=epochs, input_size=input_size, amp=amp,
-                 platform=platform)
+                 platform=platform, data=data)
     return entry
 
 
@@ -245,10 +246,12 @@ def main() -> None:
             elif args.ours_platform == "cpu":
                 amp_eff, platform = False, "cpu-hostaug"
             else:
-                amp_eff = resolve_amp_default(cfg["model"], cfg["loss"])
+                amp_eff = resolve_amp_default(cfg["model"], cfg["loss"],
+                                              cfg.get("task", "binary"))
                 platform = "tpu"
             entry = ensure_regime(
-                results, key, args.epochs, args.input_size, amp_eff, platform
+                results, key, args.epochs, args.input_size, amp_eff, platform,
+                data=os.path.basename(os.path.normpath(args.data)),
             )
             by_seed = entry.setdefault("by_seed", {})
             for seed in args.seeds:

@@ -89,15 +89,30 @@ def test_regime_change_archives_instead_of_destroying():
     entry = ensure_regime(results, "resnet_lovasz/ours", 15, 128, False, "tpu")
     assert "by_seed" not in entry  # fresh regime starts empty
     assert entry["amp"] is False
-    archived = results["resnet_lovasz/ours@e15_i128_ampTrue_tpu"]
+    archived = results["resnet_lovasz/ours@e15_i128_ampTrue_tpu_parity_ds"]
     assert archived["by_seed"] == old_seeds
+
+
+def test_dataset_change_archives_previous_regime():
+    # The scaled multitask study runs on a larger export (parity_ds_mt);
+    # its seeds must never be pooled with the 64-image parity_ds ones.
+    results = {"multitask_bce/ours": {
+        "epochs": 40, "input_size": 256, "amp": True, "platform": "tpu",
+        "by_seed": {"0": {"IoU": 0.0}},
+    }}
+    entry = ensure_regime(results, "multitask_bce/ours", 40, 256, True,
+                          "tpu", data="parity_ds_mt")
+    assert "by_seed" not in entry
+    assert entry["data"] == "parity_ds_mt"
+    archived = results["multitask_bce/ours@e40_i256_ampTrue_tpu_parity_ds"]
+    assert archived["by_seed"] == {"0": {"IoU": 0.0}}
 
 
 def test_fresh_key_initializes_regime():
     results: dict = {}
     entry = ensure_regime(results, "plain_bce/ours", 40, 256, True, "tpu")
     assert entry == {"epochs": 40, "input_size": 256, "amp": True,
-                     "platform": "tpu"}
+                     "platform": "tpu", "data": "parity_ds"}
     assert set(results) == {"plain_bce/ours"}
 
 
