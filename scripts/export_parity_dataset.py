@@ -30,7 +30,9 @@ def export(args) -> None:
     sizes = {"train": args.train, "validation": args.val, "test": args.test}
     for split, n in sizes.items():
         source = SyntheticSource(split=split, length=n, seed=args.seed,
-                                 mask_classes=args.mask_classes)
+                                 mask_classes=args.mask_classes,
+                                 n_blobs_range=tuple(args.blobs),
+                                 label_mode=args.label_mode)
         data = {"image": [], "mask": [], "label": [], "filename": []}
         for i in range(len(source)):
             s = source[i]
@@ -70,6 +72,16 @@ def parse_args(argv=None):
     p.add_argument("--mask-classes", type=int, default=1,
                    help=">1: multiclass masks (blob pixels get class ids "
                         "1..K) for the multiclass parity study")
+    p.add_argument("--blobs", type=int, nargs=2, default=[1, 5],
+                   metavar=("LO", "HI"),
+                   help="blob-count range (rng.integers semantics: HI "
+                        "exclusive); raise for a higher foreground "
+                        "fraction (the scaled multitask regime)")
+    p.add_argument("--label-mode", choices=["random", "visual"],
+                   default="random",
+                   help="'visual': class derives from image content "
+                        "(dominant mean blob color channel) so the "
+                        "multitask cls head has learnable signal")
     return p.parse_args(argv)
 
 

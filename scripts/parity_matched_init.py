@@ -93,6 +93,13 @@ def run_leg(framework: str, seed: int, weights: str, args) -> dict:
     ]
     if framework == "ref":
         cmd += ["--device", "cpu", "--no-amp", "--workers", "0"]
+    elif framework == "ours_bf16":
+        # The dtype arm: identical init + data, bf16 compute. With init
+        # fixed, (ours f32) - (ours bf16) is the pure dtype effect — the
+        # evidence the resolve_amp_default flip actually needs (the full
+        # 3-seed TPU f32 band came out indistinguishable from the bf16
+        # band, PARITY_VARIANTS_CONVERGED.json).
+        cmd += ["--ckpt-every", "0", "--defer-ckpt", "--amp"]
     else:
         # Mirror parity_variants' f32 variant (today's default for this
         # config) so matched-init rows compare 1:1 with the unmatched ones.
@@ -123,7 +130,8 @@ def main() -> None:
     p.add_argument("--epochs", type=int, default=40)
     p.add_argument("--input-size", type=int, default=256)
     p.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
-    p.add_argument("--only", choices=["ours", "ref"], default=None)
+    p.add_argument("--only", choices=["ours", "ours_bf16", "ref"],
+                   default=None)
     p.add_argument("--gate", action="store_true",
                    help="wait for driver checks (bench/dryrun) between legs")
     p.add_argument("--out",
@@ -136,13 +144,14 @@ def main() -> None:
             results = json.load(f)
     results.setdefault("regime", {
         "epochs": args.epochs, "input_size": args.input_size, "batch": 8,
-        "config": "unet_resnet50+lovasz_hinge", "ours_dtype": "f32",
-        "ref_platform": "cpu-f32",
+        "config": "unet_resnet50+lovasz_hinge",
+        "arms": {"ours": "tpu-f32", "ours_bf16": "tpu-bf16",
+                 "ref": "cpu-f32"},
     })
 
     for seed in args.seeds:
         pth, msgpack = export_init(seed)
-        for framework in ("ours", "ref"):
+        for framework in ("ours", "ours_bf16", "ref"):
             if args.only and framework != args.only:
                 continue
             entry = results.setdefault(framework, {})

@@ -89,6 +89,17 @@ class SyntheticSource:
     # multiclass parity studies). The default 1 draws no extra random
     # numbers, so existing binary streams stay bit-identical.
     mask_classes: int = 1
+    # Opt-in knobs for the scaled multitask parity regime (PARITY.md): a
+    # higher blob count raises the foreground fraction (~0.18 at defaults)
+    # so the multitask head's UNWEIGHTED seg BCE (neither framework applies
+    # pos_weight under multitask — /root/reference/train.py:341-344) has a
+    # balanced target instead of collapsing to a trivial predictor, and
+    # "visual" labels derive the class from image content (dominant mean
+    # blob color channel) so the cls head has learnable signal instead of
+    # the default's image-independent random class. Defaults draw the exact
+    # RNG stream of prior rounds' exports.
+    n_blobs_range: tuple[int, int] = (1, 5)
+    label_mode: str = "random"  # or "visual"
 
     def __post_init__(self):
         if self.length is None:
@@ -107,12 +118,14 @@ class SyntheticSource:
         mask = Image.new("L", (w, h), 0)
         idraw = ImageDraw.Draw(image)
         mdraw = ImageDraw.Draw(mask)
-        n_blobs = int(rng.integers(1, 5))
+        n_blobs = int(rng.integers(*self.n_blobs_range))
+        colors = []
         for _ in range(n_blobs):
             cx, cy = rng.integers(0, w), rng.integers(0, h)
             rx = int(rng.integers(w // 10, max(w // 3, w // 10 + 1)))
             ry = int(rng.integers(h // 10, max(h // 3, h // 10 + 1)))
             color = tuple(int(v) for v in rng.integers(0, 256, 3))
+            colors.append(color)
             box = (cx - rx, cy - ry, cx + rx, cy + ry)
             idraw.ellipse(box, fill=color)
             fill = (
@@ -120,7 +133,14 @@ class SyntheticSource:
                 else int(rng.integers(1, self.mask_classes + 1))
             )
             mdraw.ellipse(box, fill=fill)
-        cls = CLASS_NAMES[int(rng.integers(0, 3))]
+        if self.label_mode == "visual":
+            # Class = dominant channel of the mean blob color — derivable
+            # from the image (a global color statistic that survives the
+            # reference's mild hue/sat jitter), so the cls head can beat
+            # chance. Drawn AFTER the loop with no extra rng draws.
+            cls = CLASS_NAMES[int(np.argmax(np.mean(colors, axis=0)))]
+        else:
+            cls = CLASS_NAMES[int(rng.integers(0, 3))]
         return {
             "image": image,
             "mask": mask,
