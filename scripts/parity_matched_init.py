@@ -132,6 +132,23 @@ def main() -> None:
     p.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
     p.add_argument("--only", choices=["ours", "ours_bf16", "ref"],
                    default=None)
+    p.add_argument("--ref-label", default="ref",
+                   help="results key for ref legs (e.g. 'ref_rerun' for the "
+                        "determinism-check leg that duplicates a folded seed)")
+    p.add_argument("--fold-ref", action="store_true",
+                   help="Copy the converged-study ref per-seed metrics "
+                        "(PARITY_CONVERGED.json resnet_lovasz/ref) into the "
+                        "'ref' arm instead of re-running them. Valid because "
+                        "a ref matched-init leg is a deterministic replica "
+                        "of the converged ref leg for the same seed: the "
+                        "exported init IS the init a real ref run draws "
+                        "(dataset/loader construction consumes no torch RNG "
+                        "— verified seed->model == seed->datasets->loaders->"
+                        "model bit-exactly on this host), loading identical "
+                        "weights over an identical init is a no-op, and CPU "
+                        "torch with the reference's seed_everything is "
+                        "deterministic. round4_chain.sh re-runs seed 0 for "
+                        "real into 'ref_rerun' as the end-to-end check.")
     p.add_argument("--gate", action="store_true",
                    help="wait for driver checks (bench/dryrun) between legs")
     p.add_argument("--out",
@@ -149,12 +166,39 @@ def main() -> None:
                  "ref": "cpu-f32"},
     })
 
+    if args.fold_ref:
+        with open(os.path.join(REPO, "PARITY_CONVERGED.json")) as f:
+            converged = json.load(f)
+        folded = results.setdefault("ref", {})
+        # Seeds 0-2 sit under the metadata-archived key (the regime tuple
+        # gained a 'platform' field mid-study, which archived the entry —
+        # same 40ep/256²/f32-CPU regime); seed 3 is under the live key.
+        for key in ("resnet_lovasz/ref",
+                    "resnet_lovasz/ref@e40_i256_ampFalse_None"):
+            entry = converged.get(key, {})
+            assert (entry.get("epochs"), entry.get("input_size"),
+                    entry.get("amp")) == (40, 256, False), key
+            for seed, tm in entry.get("by_seed", {}).items():
+                folded.setdefault(seed, {k: float(v) for k, v in tm.items()})
+        results["ref_provenance"] = (
+            "folded from PARITY_CONVERGED.json resnet_lovasz/ref (matched-"
+            "init ref legs are deterministic replicas of the converged ref "
+            "legs; see --fold-ref help + PARITY.md); ref_rerun holds the "
+            "end-to-end determinism check"
+        )
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"[fold-ref] seeds {sorted(folded)} <- PARITY_CONVERGED.json",
+              flush=True)
+
     for seed in args.seeds:
         pth, msgpack = export_init(seed)
         for framework in ("ours", "ours_bf16", "ref"):
             if args.only and framework != args.only:
                 continue
-            entry = results.setdefault(framework, {})
+            entry = results.setdefault(
+                args.ref_label if framework == "ref" else framework, {}
+            )
             if str(seed) in entry:
                 print(f"[skip] {framework} seed={seed}", flush=True)
                 continue

@@ -1,15 +1,19 @@
 #!/usr/bin/env bash
 # Round-4 measurement chain: the study legs queued behind the TPU backlog
 # (scripts/tpu_backlog.sh). Ordering rationale on this ONE-core host:
-#   * all TPU legs first (ours matched-init f32/bf16, ours scaled multitask)
-#     — each is ~10-15 min; CPU-hog torch legs would starve the relay
-#     heartbeat if they ran concurrently, so they come strictly after;
+#   * all TPU legs first (ours matched-init f32/bf16 over 4 seeds, ours
+#     scaled multitask) — each is ~10-15 min; CPU-hog torch legs would
+#     starve the relay heartbeat if they ran concurrently, so they come
+#     strictly after;
+#   * the matched-init REF arm is FOLDED from PARITY_CONVERGED.json
+#     instead of re-run: a ref matched-init leg is a deterministic replica
+#     of the converged ref leg for the same seed (see parity_matched_init
+#     --fold-ref help). That saves ~5 h of torch CPU, which funds seeds 3
+#     on the ours arms and one real ref seed-0 leg recorded as
+#     'ref_rerun' — the end-to-end determinism check of the fold;
 #   * the scaled-multitask ref legs run only if ours actually learned in
 #     the new regime (no point burning ~1 h of torch CPU on a regime that
-#     is still degenerate);
-#   * the 3 matched-init ref legs (~1.7 h each of torch CPU) run last,
-#     nice-19, writing PARITY_MATCHED_INIT.json incrementally so partial
-#     results are still usable at round end.
+#     is still degenerate).
 # Every leg gates on the driver sentinel (utils/driver_gate.py) so bench /
 # dryrun checks never share the core with a leg (round-3 judge finding).
 #
@@ -25,20 +29,22 @@ if [ -n "$WAIT_PID" ]; then
   while kill -0 "$WAIT_PID" 2>/dev/null; do sleep 60; done
 fi
 
-echo "== [1/5] matched-init: ours f32 (TPU) =="
+echo "== [1/6] matched-init: fold ref arm + ours f32 seeds 0-3 (TPU) =="
 gate
-python scripts/parity_matched_init.py --only ours --gate || true
+python scripts/parity_matched_init.py --fold-ref --only ours \
+  --seeds 0 1 2 3 --gate || true
 
-echo "== [2/5] matched-init: ours bf16 (TPU) =="
+echo "== [2/6] matched-init: ours bf16 seeds 0-3 (TPU) =="
 gate
-python scripts/parity_matched_init.py --only ours_bf16 --gate || true
+python scripts/parity_matched_init.py --only ours_bf16 --seeds 0 1 2 3 \
+  --gate || true
 
-echo "== [3/5] scaled multitask: ours (TPU) =="
+echo "== [3/6] scaled multitask: ours (TPU) =="
 gate
 python scripts/parity_study.py --configs multitask_bce_mt \
   --epochs 20 --input-size 128 --only ours --gate || true
 
-echo "== [4/5] scaled multitask: ref (CPU) — only if ours learned =="
+echo "== [4/6] scaled multitask: ref (CPU) — only if ours learned =="
 if python - <<'EOF'
 import json, sys
 try:
@@ -57,9 +63,11 @@ else
   echo "SKIP ref multitask legs: ours IoU still degenerate in the scaled regime"
 fi
 
-echo "== [5/5] matched-init: ref (long torch-CPU legs, nice-19) =="
+echo "== [5/6] matched-init: ref seed-0 determinism check (torch CPU, nice-19) =="
 gate
-nice -n 19 python scripts/parity_matched_init.py --only ref --gate || true
+nice -n 19 python scripts/parity_matched_init.py --only ref --seeds 0 \
+  --ref-label ref_rerun --gate || true
 
+echo "== [6/6] done =="
 echo "round4 chain complete"
 date
