@@ -129,7 +129,9 @@ def main() -> None:
     p.add_argument("--data", default="/tmp/parity_ds")
     p.add_argument("--epochs", type=int, default=40)
     p.add_argument("--input-size", type=int, default=256)
-    p.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
+    p.add_argument("--seeds", type=int, nargs="*", default=[0, 1, 2],
+                   help="empty list (bare --seeds) runs no legs — useful "
+                        "with --fold-ref to fold without training")
     p.add_argument("--only", choices=["ours", "ours_bf16", "ref"],
                    default=None)
     p.add_argument("--ref-label", default="ref",

@@ -1,10 +1,12 @@
 #!/usr/bin/env bash
 # Round-4 measurement chain: the study legs queued behind the TPU backlog
 # (scripts/tpu_backlog.sh). Ordering rationale on this ONE-core host:
-#   * all TPU legs first (ours matched-init f32/bf16 over 4 seeds, ours
-#     scaled multitask) — each is ~10-15 min; CPU-hog torch legs would
-#     starve the relay heartbeat if they ran concurrently, so they come
-#     strictly after;
+#   * matched-init arms run as PER-SEED (f32, bf16) PAIRS, most important
+#     seeds first — the study's deliverable is the paired per-seed dtype
+#     delta, so a partially-completed chain still yields usable pairs
+#     (an all-f32-then-all-bf16 order would leave zero pairs if cut);
+#   * all TPU legs precede all torch-CPU legs — CPU-hog torch would starve
+#     the relay heartbeat if concurrent (ROADMAP "Known environment traps");
 #   * the matched-init REF arm is FOLDED from PARITY_CONVERGED.json
 #     instead of re-run: a ref matched-init leg is a deterministic replica
 #     of the converged ref leg for the same seed (see parity_matched_init
@@ -29,27 +31,37 @@ if [ -n "$WAIT_PID" ]; then
   while kill -0 "$WAIT_PID" 2>/dev/null; do sleep 60; done
 fi
 
-echo "== [1/6] matched-init: fold ref arm + ours f32 seeds 0-3 (TPU) =="
+echo "== [1/6] matched-init: fold ref arm from converged evidence =="
 gate
-python scripts/parity_matched_init.py --fold-ref --only ours \
-  --seeds 0 1 2 3 --gate || true
+python scripts/parity_matched_init.py --fold-ref --seeds || true  # fold only
 
-echo "== [2/6] matched-init: ours bf16 seeds 0-3 (TPU) =="
-gate
-python scripts/parity_matched_init.py --only ours_bf16 --seeds 0 1 2 3 \
-  --gate || true
+echo "== [2/6] matched-init pairs: seeds 0-1 (TPU, f32 then bf16 per seed) =="
+for seed in 0 1; do
+  gate
+  python scripts/parity_matched_init.py --only ours --seeds "$seed" --gate || true
+  gate
+  python scripts/parity_matched_init.py --only ours_bf16 --seeds "$seed" --gate || true
+done
 
 echo "== [3/6] scaled multitask: ours (TPU) =="
 gate
 python scripts/parity_study.py --configs multitask_bce_mt \
   --epochs 20 --input-size 128 --only ours --gate || true
 
-echo "== [4/6] scaled multitask: ref (CPU) — only if ours learned =="
+echo "== [4/6] matched-init pairs: seeds 2-3 (TPU) =="
+for seed in 2 3; do
+  gate
+  python scripts/parity_matched_init.py --only ours --seeds "$seed" --gate || true
+  gate
+  python scripts/parity_matched_init.py --only ours_bf16 --seeds "$seed" --gate || true
+done
+
+echo "== [5/6] scaled multitask: ref (CPU, nice-19) — only if ours learned =="
 if python - <<'EOF'
 import json, sys
 try:
     d = json.load(open("PARITY_RESULTS.json"))
-    iou = d.get("multitask_bce_mt/ours", {}).get("IoU", {}).get("mean", 0.0)
+    iou = d["multitask_bce_mt/ours"].get("IoU", {}).get("mean", 0.0)
 except Exception:
     iou = 0.0
 print(f"multitask_bce_mt/ours IoU mean = {iou}")
@@ -63,11 +75,10 @@ else
   echo "SKIP ref multitask legs: ours IoU still degenerate in the scaled regime"
 fi
 
-echo "== [5/6] matched-init: ref seed-0 determinism check (torch CPU, nice-19) =="
+echo "== [6/6] matched-init: ref seed-0 determinism check (torch CPU, nice-19) =="
 gate
 nice -n 19 python scripts/parity_matched_init.py --only ref --seeds 0 \
   --ref-label ref_rerun --gate || true
 
-echo "== [6/6] done =="
 echo "round4 chain complete"
 date
