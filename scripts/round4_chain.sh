@@ -20,8 +20,14 @@
 # dryrun checks never share the core with a leg (round-3 judge finding).
 #
 # Usage: scripts/round4_chain.sh [backlog_pid]
+#   ROUND4_FROM_LEG=N  resume from leg N (1-6) after a VM/session restart;
+#   completed matched-init seeds are cheap to re-run only if interrupted
+#   mid-leg (each leg rewrites its own JSON key, so re-running is idempotent).
 set -uo pipefail
 cd "$(dirname "$0")/.."
+
+FROM_LEG="${ROUND4_FROM_LEG:-1}"
+runleg() { [ "$1" -ge "$FROM_LEG" ]; }
 
 gate() { python -m unet_embroidery_seg_tpu.utils.driver_gate wait; }
 
@@ -31,10 +37,13 @@ if [ -n "$WAIT_PID" ]; then
   while kill -0 "$WAIT_PID" 2>/dev/null; do sleep 60; done
 fi
 
+if runleg 1; then
 echo "== [1/6] matched-init: fold ref arm from converged evidence =="
 gate
 python scripts/parity_matched_init.py --fold-ref --seeds || true  # fold only
+fi
 
+if runleg 2; then
 echo "== [2/6] matched-init pairs: seeds 0-1 (TPU, f32 then bf16 per seed) =="
 for seed in 0 1; do
   gate
@@ -42,12 +51,16 @@ for seed in 0 1; do
   gate
   python scripts/parity_matched_init.py --only ours_bf16 --seeds "$seed" --gate || true
 done
+fi
 
+if runleg 3; then
 echo "== [3/6] scaled multitask: ours (TPU) =="
 gate
 python scripts/parity_study.py --configs multitask_bce_mt \
   --epochs 20 --input-size 128 --only ours --gate || true
+fi
 
+if runleg 4; then
 echo "== [4/6] matched-init pairs: seeds 2-3 (TPU) =="
 for seed in 2 3; do
   gate
@@ -55,7 +68,9 @@ for seed in 2 3; do
   gate
   python scripts/parity_matched_init.py --only ours_bf16 --seeds "$seed" --gate || true
 done
+fi
 
+if runleg 5; then
 echo "== [5/6] scaled multitask: ref (CPU, nice-19) — only if ours learned =="
 if python - <<'EOF'
 import json, sys
@@ -74,11 +89,14 @@ then
 else
   echo "SKIP ref multitask legs: ours IoU still degenerate in the scaled regime"
 fi
+fi
 
+if runleg 6; then
 echo "== [6/6] matched-init: ref seed-0 determinism check (torch CPU, nice-19) =="
 gate
 nice -n 19 python scripts/parity_matched_init.py --only ref --seeds 0 \
   --ref-label ref_rerun --gate || true
+fi
 
 echo "round4 chain complete"
 date
