@@ -411,7 +411,7 @@ def supervise() -> None:
     b0 = batches[0]
 
     results = {b: None for b in batches}
-    lovasz = lovasz_f32 = predict_rows = ceiling_out = None
+    lovasz = lovasz_f32 = w2 = predict_rows = ceiling_out = None
     relay_error = None
     try:
         if not _relay_up():
@@ -424,6 +424,12 @@ def supervise() -> None:
             # PARITY.md) — measure what a default `--loss lovasz_hinge` run
             # actually costs, alongside the bf16 row (`--amp`).
             lovasz_f32 = _run_sub(f"train:{b0}:lovasz_hinge:f32")
+        if os.environ.get("BENCH_W2", "1") != "0":
+            # The opt-in --decoder-width 2.0 MXU-utilization lever, measured
+            # next to the w1 parity row (the C=64 tail caps w1 at ~40% of
+            # the matmul ceiling; the C=128 tail reaches ~68%). Persistent
+            # compile cache makes this cheap after the first run.
+            w2 = _run_sub(f"train:{b0}:bce:w2.0")
         if os.environ.get("BENCH_PREDICT", "1") != "0":
             predict_rows = {}
             for psize in dict.fromkeys((480, size)):
@@ -473,6 +479,11 @@ def supervise() -> None:
         out["train_lovasz_bf16"] = lovasz
     if lovasz_f32 is not None:
         out["train_lovasz_f32_default"] = lovasz_f32
+    if w2 is not None:
+        tfs_w2 = w2.get("model_tflops_per_sec")
+        if tfs_w2 and ceiling:
+            w2["pct_of_matmul_peak"] = round(100 * tfs_w2 / ceiling, 1)
+        out["train_decoder_width2"] = w2
     if predict_rows is not None:
         out["predict"] = predict_rows
         out["predict_note"] = (

@@ -72,3 +72,46 @@ def test_ignores_garbage_and_returns_none_when_nothing_usable(tmp_path):
     empty = tmp_path / "empty"
     os.makedirs(empty)
     assert bench._last_known_good(str(empty)) is None
+
+
+def _fake_run_sub(calls):
+    def run(spec):
+        calls.append(spec)
+        if spec.startswith("train:") and ":w" in spec:
+            return {"images_per_sec": 82.7, "ms_per_step": 96.75,
+                    "model_tflops_per_sec": 127.4}
+        if spec.startswith("train:"):
+            return {"images_per_sec": 130.4, "ms_per_step": 61.35,
+                    "model_tflops_per_sec": 75.1}
+        if spec.startswith("predict:"):
+            return {"device_ms_per_image": 2.8, "images_per_sec": 353.4}
+        if spec == "ceiling":
+            return {"matmul_ceiling_tflops": 186.0}
+        raise AssertionError(spec)
+    return run
+
+
+def test_supervise_emits_w2_row_with_pct_of_peak(monkeypatch, capsys):
+    # VERDICT r3 #7: the decoder-width lever must appear in the driver's
+    # default BENCH artifact next to the w1 parity row, with %-of-peak.
+    calls = []
+    monkeypatch.setattr(bench, "_relay_up", lambda *a, **k: True)
+    monkeypatch.setattr(bench, "_run_sub", _fake_run_sub(calls))
+    bench.supervise()
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "train:8:bce:w2.0" in calls
+    w2 = out["train_decoder_width2"]
+    assert w2["images_per_sec"] == 82.7
+    assert w2["pct_of_matmul_peak"] == round(100 * 127.4 / 186.0, 1)
+    assert out["pct_of_matmul_peak"] == round(100 * 75.1 / 186.0, 1)
+
+
+def test_supervise_w2_optout(monkeypatch, capsys):
+    calls = []
+    monkeypatch.setattr(bench, "_relay_up", lambda *a, **k: True)
+    monkeypatch.setattr(bench, "_run_sub", _fake_run_sub(calls))
+    monkeypatch.setenv("BENCH_W2", "0")
+    bench.supervise()
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert not any(":w" in c for c in calls if c.startswith("train:"))
+    assert "train_decoder_width2" not in out
