@@ -180,9 +180,9 @@ def predict(args):
     assert os.path.exists(args.weights), f"weights {args.weights} not found."
 
     if args.amp is None:
-        # Mirror train.py's per-config default (the way val.py does) so the
-        # flagship defaults-trained f32 checkpoint (resnet50 + binary
-        # lovasz, PARITY.md) is inferred f32 without remembering --no-amp.
+        # Mirror train.py's per-config default (the way val.py does) so a
+        # checkpoint trained at the defaults is always inferred in the
+        # dtype it trained in, whatever rule PARITY.md evidence installs.
         from train import resolve_amp_default
 
         task = "binary" if args.num_classes == 1 else "multiclass"

@@ -8,11 +8,12 @@ attribution — and any default flip — is based on converged evidence, per
 the round-2 review.
 
 Variants (flags are explicit so the study stays single-variable even as
-CLI defaults move; since the converged study, the train CLI defaults THIS
-config to f32 — see train.resolve_amp_default):
+CLI defaults move; the train CLI's dtype default for this config flipped
+to f32 after the converged study and was reverted to bf16 by the
+matched-init study — see train.resolve_amp_default):
   host_aug   : --amp --no-device-augment (PIL/cv2 reference-parity augment)
-  f32        : --no-amp                  (f32 compute == today's default)
-  bf16       : --amp                     (the pre-flip bf16 default)
+  f32        : --no-amp                  (f32 compute)
+  bf16       : --amp                     (bf16, today's default)
   both       : --no-amp --no-device-augment
 
 Usage:

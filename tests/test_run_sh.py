@@ -77,13 +77,13 @@ def test_run_sh_multitask_single_run(tmp_path):
 
 
 def test_amp_default_resolution():
-    """bf16 is the default compute dtype except for the one config with a
-    measured converged-regime accuracy cost (PARITY.md): resnet50+lovasz
-    defaults to f32; an explicit --amp / --no-amp always wins."""
+    """bf16 is the default compute dtype for every config (the round-3 f32
+    flip for resnet50+lovasz was reverted by the round-4 matched-init
+    study, PARITY.md); an explicit --amp / --no-amp always wins."""
     sys.path.insert(0, REPO)
     import train as train_cli
 
-    assert train_cli.resolve_amp_default("unet_resnet50", "lovasz_hinge") is False
+    assert train_cli.resolve_amp_default("unet_resnet50", "lovasz_hinge") is True
     assert train_cli.resolve_amp_default("unet_resnet50", "bce") is True
     assert train_cli.resolve_amp_default("unet_plain", "lovasz_hinge") is True
     # the CLI flag is tri-state: None means "apply the rule"

@@ -47,17 +47,22 @@ class LogColor:
 
 
 def resolve_amp_default(model: str, loss: str, task: str = "binary") -> bool:
-    """Default compute dtype per config: bf16 everywhere except the one
-    config with measured converged-regime accuracy cost (PARITY.md):
-    from-scratch unet_resnet50 + binary lovasz_hinge trains f32 by default.
+    """Default compute dtype per config. Currently: bf16 for every config.
 
-    Keys on the EFFECTIVE loss: under --task multiclass the binary-only
-    lovasz_hinge flag is lowered to CE, so the f32 evidence (which is
-    binary-lovasz-specific) does not apply and bf16 stays the default.
+    History (PARITY.md): round 3's unpaired converged study flipped
+    (binary, unet_resnet50, lovasz_hinge) to f32 on a seed-0 +0.026 IoU
+    delta; the round-4 matched-init study (bit-identical torch-exported
+    init, 4 seeds, paired per-seed f32-vs-bf16 arms on identical
+    init+data) measured the dtype effect at -0.020 +/- 0.048 IoU — no
+    systematic f32 advantage, and the weak-seed pathology inverted sides —
+    so the f32 default was reverted (bf16 is also 1.48x faster on that
+    step, BENCH). The hook stays (and keeps the model/loss/task signature)
+    so val.py/predict.py mirror whatever rule future evidence installs;
+    any future rule must key on the EFFECTIVE loss after multiclass
+    lowering, as the f32 rule did.
     """
-    return not (
-        task == "binary" and model == "unet_resnet50" and loss == "lovasz_hinge"
-    )
+    del model, loss, task
+    return True
 
 
 def resolve_num_classes(args) -> int:
@@ -180,8 +185,8 @@ def train(args):
         args.amp = resolve_amp_default(args.model, args.loss, args.task)
         if not args.amp:
             print(
-                "[amp] defaulting to f32 for unet_resnet50 + lovasz_hinge "
-                "(accuracy parity, see PARITY.md); pass --amp to force bf16"
+                "[amp] defaulting to f32 for this config "
+                "(see PARITY.md); pass --amp to force bf16"
             )
     rng = seed_everything(args.seed)
     num_classes = resolve_num_classes(args)
