@@ -420,9 +420,10 @@ def supervise() -> None:
             results[b] = _run_sub(f"train:{b}:bce")
         if os.environ.get("BENCH_LOVASZ", "1") != "0":
             lovasz = _run_sub(f"train:{b0}:lovasz_hinge")
-            # The train CLI defaults this config to f32 (accuracy parity,
-            # PARITY.md) — measure what a default `--loss lovasz_hinge` run
-            # actually costs, alongside the bf16 row (`--amp`).
+            # bf16 is the default for this config too (the round-3 f32 flip
+            # was reverted by the matched-init study, PARITY.md) — keep the
+            # f32 row measured anyway: it prices the `--no-amp` escape hatch
+            # (1.48x step-time tax) next to the default.
             lovasz_f32 = _run_sub(f"train:{b0}:lovasz_hinge:f32")
         if os.environ.get("BENCH_W2", "1") != "0":
             # The opt-in --decoder-width 2.0 MXU-utilization lever, measured
@@ -478,7 +479,7 @@ def supervise() -> None:
     if lovasz is not None:
         out["train_lovasz_bf16"] = lovasz
     if lovasz_f32 is not None:
-        out["train_lovasz_f32_default"] = lovasz_f32
+        out["train_lovasz_f32"] = lovasz_f32
     if w2 is not None:
         tfs_w2 = w2.get("model_tflops_per_sec")
         if tfs_w2 and ceiling:
