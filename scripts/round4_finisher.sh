@@ -16,17 +16,37 @@
 #      path (export -> --weights load -> train); both ≈ the round-2
 #      screening value (PARITY.md: ref seed 0 = 0.325) bounds env drift.
 #
+# Leg 0 (TPU, runs FIRST, holding the driver sentinel so the torch legs
+# cannot overlap it on this one-core host): the seed-5 escape-time
+# diagnostic. Every learned seed's val history shows 9-11 epochs pinned
+# at IoU 0 inside the trivial attractor before escaping; seed 5 simply
+# had not escaped by epoch 20. One 40-epoch rerun of the same leg tests
+# whether the "collapse" is an escape-TIME tail rather than a permanent
+# failure. Run directly via train.py (not parity_study) so the live
+# 20-epoch regime key is not archived; recorded in PARITY.md prose.
+#
 # Usage: scripts/round4_finisher.sh [wait_pid]
 set -uo pipefail
 cd "$(dirname "$0")/.."
 
 gate() { python -m unet_embroidery_seg_tpu.utils.driver_gate wait; }
+SENTINEL="${UNET_TPU_DRIVER_SENTINEL:-/tmp/unet_tpu_driver_busy}"
 
 WAIT_PID="${1:-}"
 if [ -n "$WAIT_PID" ]; then
   echo "waiting for pid $WAIT_PID (TPU block) to exit"
-  while kill -0 "$WAIT_PID" 2>/dev/null; do sleep 30; done
+  while kill -0 "$WAIT_PID" 2>/dev/null; do sleep 5; done
 fi
+
+echo "== [0] multitask ours seed 5 @ 40 epochs (TPU escape-time diagnostic) =="
+gate
+echo $$ > "$SENTINEL"
+trap 'rm -f "$SENTINEL"' EXIT
+python train.py --data-path /tmp/parity_ds_mt --data-config no-ai \
+  --task multitask --model multitask_unet --loss bce \
+  --epochs 40 --batch-size 8 --input-size 128 --seed 5 --weights "" \
+  --ckpt-every 0 --defer-ckpt --device-augment || true
+rm -f "$SENTINEL"
 
 echo "== [A] scaled multitask: ref seeds 3-5 (torch CPU, nice-19) =="
 gate
