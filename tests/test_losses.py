@@ -269,3 +269,34 @@ class TestMultitask:
         assert abs(float(seg_l) - exp_seg) < 2e-5
         assert abs(float(cls_l) - exp_cls) < 2e-5
         assert abs(float(total) - (exp_seg + 1.5 * exp_cls)) < 2e-5
+
+    def test_pos_weight_matches_torch(self):
+        # Opt-in seg pos_weight (OFF by default — the reference never
+        # weights its multitask seg BCE, unet_multitask.py:109-139).
+        seg_logits = _rand((2, 8, 8, 1))
+        cls_logits = _rand((2, 3), seed=11)
+        seg_t = (_rand((2, 8, 8), seed=12) > 0).astype(np.int32)
+        cls_t = np.array([0, 2], np.int32)
+        pw = 4.25
+        _, seg_l, cls_l = losses.multitask_loss(
+            jnp.asarray(seg_logits),
+            jnp.asarray(cls_logits),
+            jnp.asarray(seg_t),
+            jnp.asarray(cls_t),
+            pos_weight=pw,
+        )
+        exp_seg = F.binary_cross_entropy_with_logits(
+            torch.tensor(seg_logits[..., 0]),
+            torch.tensor(seg_t.astype(np.float32)),
+            pos_weight=torch.tensor([pw]),
+        ).item()
+        assert abs(float(seg_l) - exp_seg) < 2e-5
+        # cls loss is unaffected by the seg pos_weight
+        _, seg_unweighted, cls_unweighted = losses.multitask_loss(
+            jnp.asarray(seg_logits),
+            jnp.asarray(cls_logits),
+            jnp.asarray(seg_t),
+            jnp.asarray(cls_t),
+        )
+        assert abs(float(cls_l) - float(cls_unweighted)) < 1e-7
+        assert float(seg_l) != float(seg_unweighted)

@@ -273,10 +273,21 @@ def train(args):
 
     model, state = create_model_and_state(args, num_classes, rng, tx)
 
-    # pos_weight for binary BCE (auto = neg/pos estimate).
+    # pos_weight for the BCE seg loss (auto = neg/pos estimate). Task
+    # defaults differ to stay reference-parity: auto for binary
+    # (train.py:189-205), OFF for multitask (unet_multitask.py:109-139
+    # never weights its seg BCE — but that unweighted loss has a measured
+    # trivial all-background attractor, PARITY.md, so --pos-weight
+    # auto/<float> is offered as the opt-in escape hatch).
+    pw_flag = args.pos_weight
+    if pw_flag is None:
+        pw_flag = "auto" if args.task == "binary" else ""
+    pw_applies = (args.task == "binary" and args.loss == "bce") or (
+        args.task == "multitask" and args.loss != "lovasz_hinge"
+    )
     pos_weight = None
-    if args.task == "binary" and args.loss == "bce" and args.pos_weight:
-        if args.pos_weight == "auto":
+    if pw_applies and pw_flag:
+        if pw_flag == "auto":
             if train_dataset is None:
                 # Device path: estimate from host-AUGMENTED samples exactly
                 # like the reference (train.py:189-205). A canvas-cache
@@ -285,7 +296,7 @@ def train(args):
                 train_dataset = make_ds("train", True)
             pos_weight = estimate_pos_weight(train_dataset, args.pos_weight_samples)
         else:
-            pos_weight = float(args.pos_weight)
+            pos_weight = float(pw_flag)
 
     max_train_batches = args.max_train_batches or None
     max_val_batches = args.max_val_batches or None
@@ -306,10 +317,12 @@ def train(args):
         eval_step = steps.make_binary_eval_step(model, args.loss, pos_weight)
     elif args.task == "multitask":
         train_step = steps.make_multitask_train_step(
-            model, tx, seg_loss_name=args.loss, cls_loss_weight=args.cls_loss_weight
+            model, tx, seg_loss_name=args.loss,
+            cls_loss_weight=args.cls_loss_weight, pos_weight=pos_weight,
         )
         eval_step = steps.make_multitask_eval_step(
-            model, seg_loss_name=args.loss, cls_loss_weight=args.cls_loss_weight
+            model, seg_loss_name=args.loss,
+            cls_loss_weight=args.cls_loss_weight, pos_weight=pos_weight,
         )
     else:
         train_step = steps.make_multiclass_train_step(
@@ -760,8 +773,13 @@ def parse_args(argv=None):
     parser.add_argument("--loss", default="lovasz_hinge",
                         choices=["bce", "lovasz_hinge", "ce", "focal"],
                         help="Loss function")
-    parser.add_argument("--pos-weight", default="auto",
-                        help="For binary BCE: 'auto', a float, or '' to disable")
+    parser.add_argument("--pos-weight", default=None,
+                        help="'auto', a float, or '' to disable. Default: "
+                             "auto for binary BCE (reference parity), OFF "
+                             "for multitask seg BCE (the reference never "
+                             "weights it; setting it is the escape hatch "
+                             "for the trivial all-background attractor, "
+                             "PARITY.md)")
     parser.add_argument("--pos-weight-samples", default=80, type=int)
     parser.add_argument("--use-dice", action=_boolopt(), default=True,
                         help="For multiclass only: add Dice loss")

@@ -224,9 +224,14 @@ def make_multitask_train_step(
     tx,
     seg_loss_name: str = "bce",
     cls_loss_weight: float = 1.0,
+    pos_weight: float | None = None,
 ) -> Callable:
     """train_step(state, images, pngs, cls, sample_mask, rng)
-    -> (state, (total, seg, cls), n_cls_correct)."""
+    -> (state, (total, seg, cls), n_cls_correct).
+
+    ``pos_weight`` weights the seg-BCE positive term; None (the default)
+    matches the reference's unweighted multitask loss.
+    """
 
     def loss_fn(params, state, images, pngs, cls_targets, sample_mask, rng):
         (seg_logits, cls_logits), new_bs = _apply_train(
@@ -240,6 +245,7 @@ def make_multitask_train_step(
             seg_loss_name=seg_loss_name,
             cls_loss_weight=cls_loss_weight,
             sample_mask=sample_mask,
+            pos_weight=pos_weight,
         )
         correct = jnp.sum(
             (jnp.argmax(cls_logits, -1) == cls_targets) & sample_mask.astype(bool)
@@ -261,6 +267,7 @@ def make_multitask_eval_step(
     seg_loss_name: str = "bce",
     cls_loss_weight: float = 1.0,
     num_cls_classes: int = 3,
+    pos_weight: float | None = None,
 ) -> Callable:
     """eval_step -> ((total, seg, cls), seg_counts[4], cls_confusion[C,C])."""
 
@@ -275,6 +282,7 @@ def make_multitask_eval_step(
             seg_loss_name=seg_loss_name,
             cls_loss_weight=cls_loss_weight,
             sample_mask=sample_mask,
+            pos_weight=pos_weight,
         )
         seg_counts = metrics.multitask_seg_counts(
             seg_logits, pngs, sample_mask=sample_mask

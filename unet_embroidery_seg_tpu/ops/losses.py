@@ -335,6 +335,7 @@ def multitask_loss(
     seg_loss_name: str = "bce",
     cls_loss_weight: float = 1.0,
     sample_mask: jax.Array | None = None,
+    pos_weight: jax.Array | float | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Multitask seg+cls loss (unet_multitask.py:109-139).
 
@@ -343,6 +344,12 @@ def multitask_loss(
         cls_logits: (N, num_cls) classification logits.
         seg_targets: (N, H, W) {0,1} masks.
         cls_targets: (N,) int class labels.
+        pos_weight: optional positive-term weight on the seg BCE. The
+            reference never weights its multitask seg BCE
+            (unet_multitask.py:109-139), and the unweighted loss has a
+            measured trivial all-background attractor that traps some
+            seeds for 10+ epochs (PARITY.md "scaled multitask") — this
+            opt-in escape hatch is OFF by default for parity.
 
     Returns:
         (total_loss, seg_loss, cls_loss)
@@ -358,7 +365,10 @@ def multitask_loss(
             seg_flat, seg_targets.astype(jnp.float32), sample_mask=sample_mask
         )
     else:  # "bce" and any other name fall back to BCE, like the reference
-        seg_l = bce_with_logits(seg_flat, seg_targets.astype(jnp.float32), mask=pix_mask)
+        seg_l = bce_with_logits(
+            seg_flat, seg_targets.astype(jnp.float32),
+            pos_weight=pos_weight, mask=pix_mask,
+        )
     log_probs = jax.nn.log_softmax(cls_logits.astype(jnp.float32), axis=-1)
     per_sample_nll = -jnp.take_along_axis(log_probs, cls_targets[:, None], axis=-1)[:, 0]
     if sample_mask is not None:
