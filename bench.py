@@ -37,9 +37,19 @@ through the relay). A cheap reachability probe (128^2 matmul subprocess,
 BENCH_PROBE_TIMEOUT) gates the run and every section timeout: when the
 relay itself is hung (observed outage 2026-08-17: ``jax.devices()`` blocked
 for hours), the supervisor emits the JSON line with ``"error"`` set after
-minutes instead of burning retries*timeout on all sections. Env knobs:
-BENCH_SIZE, BENCH_STEPS, BENCH_BATCHES, BENCH_PREDICT=0 / BENCH_LOVASZ=0 to
-skip sections, BENCH_RETRIES, BENCH_SECTION_TIMEOUT, BENCH_PROBE_TIMEOUT.
+minutes instead of burning retries*timeout on all sections.
+
+Deadline (round 5): the supervisor enforces a TOTAL wall clock
+(BENCH_DEADLINE, default 1080 s) so the driver's own timeout can never
+produce an empty artifact again (BENCH_r04 was rc=124 with zero output):
+headline + ceiling run first, a provisional JSON line is emitted as soon as
+they land, optional sections are shed loudly when the budget runs out, and
+shed rows are back-filled (clearly labeled) from BENCH_LAST_FULL.json — the
+snapshot refreshed by any complete sweep (``BENCH_FULL=1`` disables the
+deadline and is what scripts/tpu_backlog.sh uses). Env knobs: BENCH_SIZE,
+BENCH_STEPS, BENCH_BATCHES, BENCH_PREDICT=0 / BENCH_LOVASZ=0 / BENCH_W2=0
+to skip sections, BENCH_RETRIES, BENCH_SECTION_TIMEOUT, BENCH_PROBE_TIMEOUT,
+BENCH_DEADLINE, BENCH_FULL.
 """
 
 from __future__ import annotations
@@ -263,8 +273,8 @@ def run_section(spec: str) -> dict:
     kind, *args = spec.split(":")
     if kind == "train":
         # Optional trailing tokens: "f32" (compute dtype) and "w<mult>"
-        # (decoder_width — the non-parity MXU-utilization row, run by hand
-        # or via scripts; never part of the headline supervise() set).
+        # (decoder_width — the non-parity MXU-utilization row; a default
+        # supervise() row since round 4, opt out with BENCH_W2=0).
         width = next(
             (float(a[1:]) for a in args[2:] if a.startswith("w")), 1.0
         )
@@ -313,14 +323,26 @@ def _relay_up(attempts: int = 2) -> bool:
     return False
 
 
-def _run_sub(spec: str) -> dict | None:
+def _run_sub(spec: str, budget: float | None = None) -> dict | None:
     retries = int(os.environ.get("BENCH_RETRIES", "3"))
     # Default must exceed the observed worst-case fresh-shape cold compile
     # (>25 min through the remote-compile relay): killing a client
     # mid-cold-compile is what wedged the relay for 12+ h (tpu_backlog.sh).
     timeout = float(os.environ.get("BENCH_SECTION_TIMEOUT", "3600"))
     env = dict(os.environ, BENCH_SECTION=spec)
+    t_begin = time.monotonic()
     for attempt in range(1, retries + 1):
+        attempt_timeout = timeout
+        if budget is not None:
+            # Under a total deadline (driver mode) a section — retries
+            # included — may not outlive the supervisor's remaining window:
+            # better one killed section and a partial JSON line than an
+            # rc=124 artifact with no output at all (BENCH_r04 post-mortem).
+            left = budget - (time.monotonic() - t_begin)
+            if left < 60:
+                _progress(f"section {spec}: no budget left for attempt {attempt}")
+                return None
+            attempt_timeout = max(60.0, min(timeout, left))
         _progress(f"section {spec} (attempt {attempt}/{retries})")
         try:
             # Each section runs in its OWN session: the relay pool kills the
@@ -329,11 +351,11 @@ def _run_sub(spec: str) -> dict | None:
             # child must not share the supervisor's.
             res = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
-                env=env, capture_output=True, text=True, timeout=timeout,
-                start_new_session=True,
+                env=env, capture_output=True, text=True,
+                timeout=attempt_timeout, start_new_session=True,
             )
         except subprocess.TimeoutExpired:
-            _progress(f"section {spec}: timeout after {timeout}s")
+            _progress(f"section {spec}: timeout after {attempt_timeout}s")
             # Distinguish "this compile was slow/flaky" (retry is useful)
             # from "the relay is gone" (every further attempt would burn the
             # full timeout for nothing — bail out across sections).
@@ -405,45 +427,72 @@ def _last_known_good(here: str | None = None) -> dict | None:
     }
 
 
+_LAST_FULL = "BENCH_LAST_FULL.json"
+
+
+def _last_full_path() -> str:
+    here = os.environ.get(
+        "BENCH_LAST_FULL_DIR", os.path.dirname(os.path.abspath(__file__))
+    )
+    return os.path.join(here, _LAST_FULL)
+
+
+def _read_last_full() -> dict | None:
+    """Snapshot of the last COMPLETE sweep (written by supervise() whenever
+    every requested section landed — typically a BENCH_FULL=1 run of
+    scripts/tpu_backlog.sh). Used to annotate deadline-shed sections."""
+    path = _last_full_path()
+    try:
+        with open(path) as f:
+            data = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+    if isinstance(data, dict) and isinstance(data.get("result"), dict):
+        return data
+    return None
+
+
 def supervise() -> None:
+    t_start = time.monotonic()
     size = int(os.environ.get("BENCH_SIZE", "512"))
     batches = [int(b) for b in os.environ.get("BENCH_BATCHES", "8,16").split(",")]
     b0 = batches[0]
+    # Total wall-clock deadline (round-5 fix: BENCH_r04 was rc=124 with NO
+    # output because the ~11-section sweep had no total deadline). Sections
+    # that don't fit are shed — loudly — and back-filled from the last
+    # complete sweep's snapshot. BENCH_FULL=1 (tpu_backlog.sh / by hand)
+    # disables the deadline and refreshes that snapshot on success.
+    full = os.environ.get("BENCH_FULL", "0") == "1"
+    deadline = float(
+        os.environ.get("BENCH_DEADLINE", "0" if full else "1080") or 0
+    )
 
-    results = {b: None for b in batches}
+    skipped: list[str] = []
+    failed: list[str] = []
+
+    def remaining() -> float | None:
+        return None if not deadline else deadline - (time.monotonic() - t_start)
+
+    def run(spec: str) -> dict | None:
+        rem = remaining()
+        if rem is not None and rem < 90:
+            skipped.append(spec)
+            _progress(f"skipped (deadline): {spec} ({rem:.0f}s left)")
+            return None
+        t0 = time.monotonic()
+        out = _run_sub(spec, budget=rem)
+        _progress(
+            f"section {spec} finished in {time.monotonic() - t0:.0f}s "
+            f"(elapsed {time.monotonic() - t_start:.0f}s"
+            + (f" of {deadline:.0f}s)" if deadline else ")")
+        )
+        if out is None:
+            failed.append(spec)
+        return out
+
+    results: dict = {b: None for b in batches}
     lovasz = lovasz_f32 = w2 = predict_rows = ceiling_out = None
     relay_error = None
-    try:
-        if not _relay_up():
-            raise RelayDown("initial probe")
-        for b in batches:
-            results[b] = _run_sub(f"train:{b}:bce")
-        if os.environ.get("BENCH_LOVASZ", "1") != "0":
-            lovasz = _run_sub(f"train:{b0}:lovasz_hinge")
-            # bf16 is the default for this config too (the round-3 f32 flip
-            # was reverted by the matched-init study, PARITY.md) — keep the
-            # f32 row measured anyway: it prices the `--no-amp` escape hatch
-            # (1.48x step-time tax) next to the default.
-            lovasz_f32 = _run_sub(f"train:{b0}:lovasz_hinge:f32")
-        if os.environ.get("BENCH_W2", "1") != "0":
-            # The opt-in --decoder-width 2.0 MXU-utilization lever, measured
-            # next to the w1 parity row (the C=64 tail caps w1 at ~40% of
-            # the matmul ceiling; the C=128 tail reaches ~68%). Persistent
-            # compile cache makes this cheap after the first run.
-            w2 = _run_sub(f"train:{b0}:bce:w2.0")
-        if os.environ.get("BENCH_PREDICT", "1") != "0":
-            predict_rows = {}
-            for psize in dict.fromkeys((480, size)):
-                for pb in dict.fromkeys((1, b0)):
-                    predict_rows[f"b{pb}_{psize}"] = _run_sub(
-                        f"predict:{psize}:{pb}")
-        ceiling_out = _run_sub("ceiling")
-    except RelayDown as e:
-        # Emit what we have, honestly flagged, instead of burning
-        # retries*timeout on every remaining section of a hung relay.
-        relay_error = f"tpu relay unreachable (probe hang at: {e})"
-        _progress(relay_error)
-    ceiling = ceiling_out["matmul_ceiling_tflops"] if ceiling_out else None
 
     baseline = None
     try:
@@ -452,46 +501,130 @@ def supervise() -> None:
     except Exception:
         pass
 
-    head = results.get(b0) or {}
-    ips = head.get("images_per_sec")
-    tfs = head.get("model_tflops_per_sec")
-    out = {
-        "metric": f"train images/sec (unet_resnet50 bce {size}x{size} b{b0} bf16)",
-        "value": ips,
-        "unit": "images/sec",
-        "vs_baseline": round(ips / baseline, 2) if ips and baseline else None,
-        "ms_per_step": head.get("ms_per_step"),
-        "model_tflops_per_sec": tfs,
-        "matmul_ceiling_tflops": ceiling,
-        "pct_of_matmul_peak": (
-            round(100 * tfs / ceiling, 1) if tfs and ceiling else None
-        ),
-        "vs_baseline_note": "torch reference on this host is CPU-only; "
-                            "pct_of_matmul_peak is the quality bar",
-    }
-    if relay_error:
-        out["error"] = relay_error
-        lkg = _last_known_good()
-        if lkg:
-            out["last_known_good"] = lkg
-    for b in batches[1:]:
-        out[f"b{b}"] = results.get(b)
-    if lovasz is not None:
-        out["train_lovasz_bf16"] = lovasz
-    if lovasz_f32 is not None:
-        out["train_lovasz_f32"] = lovasz_f32
-    if w2 is not None:
-        tfs_w2 = w2.get("model_tflops_per_sec")
-        if tfs_w2 and ceiling:
-            w2["pct_of_matmul_peak"] = round(100 * tfs_w2 / ceiling, 1)
-        out["train_decoder_width2"] = w2
-    if predict_rows is not None:
-        out["predict"] = predict_rows
-        out["predict_note"] = (
-            "device_ms_per_image = pure device time (incl. on-device "
-            "softmax); e2e adds one dispatch + full softmax fetch "
-            "(host-link bound here)"
-        )
+    def assemble() -> dict:
+        ceiling = ceiling_out["matmul_ceiling_tflops"] if ceiling_out else None
+        head = results.get(b0) or {}
+        ips = head.get("images_per_sec")
+        tfs = head.get("model_tflops_per_sec")
+        out = {
+            "metric": f"train images/sec (unet_resnet50 bce {size}x{size} b{b0} bf16)",
+            "value": ips,
+            "unit": "images/sec",
+            "vs_baseline": round(ips / baseline, 2) if ips and baseline else None,
+            "ms_per_step": head.get("ms_per_step"),
+            "model_tflops_per_sec": tfs,
+            "matmul_ceiling_tflops": ceiling,
+            "pct_of_matmul_peak": (
+                round(100 * tfs / ceiling, 1) if tfs and ceiling else None
+            ),
+            "vs_baseline_note": "torch reference on this host is CPU-only; "
+                                "pct_of_matmul_peak is the quality bar",
+        }
+        if relay_error:
+            out["error"] = relay_error
+            lkg = _last_known_good()
+            if lkg:
+                out["last_known_good"] = lkg
+        for b in batches[1:]:
+            if results.get(b) is not None:
+                out[f"b{b}"] = results[b]
+        if lovasz is not None:
+            out["train_lovasz_bf16"] = lovasz
+        if lovasz_f32 is not None:
+            out["train_lovasz_f32"] = lovasz_f32
+        if w2 is not None:
+            tfs_w2 = w2.get("model_tflops_per_sec")
+            if tfs_w2 and ceiling:
+                w2["pct_of_matmul_peak"] = round(100 * tfs_w2 / ceiling, 1)
+            out["train_decoder_width2"] = w2
+        if predict_rows is not None:
+            out["predict"] = predict_rows
+            out["predict_note"] = (
+                "device_ms_per_image = pure device time (incl. on-device "
+                "softmax); e2e adds one dispatch + full softmax fetch "
+                "(host-link bound here)"
+            )
+        return out
+
+    try:
+        if not _relay_up():
+            raise RelayDown("initial probe")
+        # Headline + ceiling first: together they are the whole quality bar
+        # (img/s + % of the live-measured matmul peak) and must land even
+        # under the tightest driver window.
+        results[b0] = run(f"train:{b0}:bce")
+        ceiling_out = run("ceiling")
+        if deadline and results[b0]:
+            # Provisional emit: if the driver's own timeout kills us during
+            # an optional section below, the artifact still parses to the
+            # fresh headline (the driver takes the last/only JSON line of
+            # whatever stdout it captured).
+            prov = assemble()
+            prov["provisional"] = (
+                "headline+ceiling only; optional sections still running"
+            )
+            print(json.dumps(prov, allow_nan=False), flush=True)
+        # Optional rows, shed in reverse priority under the deadline:
+        # predict (the north star's second half) > b16 > the lovasz pair
+        # (CLI-default loss, both compute dtypes) > the opt-in w2 lever.
+        if os.environ.get("BENCH_PREDICT", "1") != "0":
+            predict_rows = {}
+            for psize in dict.fromkeys((480, size)):
+                for pb in dict.fromkeys((1, b0)):
+                    predict_rows[f"b{pb}_{psize}"] = run(f"predict:{psize}:{pb}")
+        for b in batches[1:]:
+            results[b] = run(f"train:{b}:bce")
+        if os.environ.get("BENCH_LOVASZ", "1") != "0":
+            lovasz = run(f"train:{b0}:lovasz_hinge")
+            # bf16 is the default for this config too (the round-3 f32 flip
+            # was reverted by the matched-init study, PARITY.md) — keep the
+            # f32 row measured anyway: it prices the `--no-amp` escape hatch
+            # (1.48x step-time tax) next to the default.
+            lovasz_f32 = run(f"train:{b0}:lovasz_hinge:f32")
+        if os.environ.get("BENCH_W2", "1") != "0":
+            # The opt-in --decoder-width 2.0 MXU-utilization lever, measured
+            # next to the w1 parity row (the C=64 tail caps w1 at ~40% of
+            # the matmul ceiling; the C=128 tail reaches ~68%).
+            w2 = run(f"train:{b0}:bce:w2.0")
+    except RelayDown as e:
+        # Emit what we have, honestly flagged, instead of burning
+        # retries*timeout on every remaining section of a hung relay.
+        relay_error = f"tpu relay unreachable (probe hang at: {e})"
+        _progress(relay_error)
+
+    out = assemble()
+    if skipped:
+        out["sections_skipped_deadline"] = skipped
+    if failed:
+        out["sections_failed"] = failed
+    if (skipped or failed) and not relay_error:
+        snap = _read_last_full()
+        if snap:
+            fill = {
+                k: v for k, v in snap["result"].items()
+                if v is not None and out.get(k) is None
+                and k not in ("metric", "unit", "vs_baseline_note",
+                              "predict_note", "provisional",
+                              "sections_skipped_deadline", "sections_failed",
+                              "from_last_full")
+            }
+            if fill:
+                out["from_last_full"] = {
+                    "date": snap.get("date"),
+                    "note": "sections shed under BENCH_DEADLINE; rows below "
+                            "are from the last complete sweep",
+                    **fill,
+                }
+    elif not (skipped or failed or relay_error) and out.get("value"):
+        try:
+            with open(_last_full_path(), "w") as f:
+                json.dump(
+                    {"date": time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime()),
+                     "result": out},
+                    f, indent=1,
+                )
+        except OSError as e:
+            _progress(f"could not write {_LAST_FULL}: {e}")
     print(json.dumps(out, allow_nan=False))
 
 

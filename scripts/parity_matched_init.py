@@ -36,6 +36,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from parity_study import (  # shared infra
     REF,
+    ensure_dataset,
     ensure_ref_copy,
     exp_dirs,
     resolve_run_exp,
@@ -193,6 +194,13 @@ def main() -> None:
         print(f"[fold-ref] seeds {sorted(folded)} <- PARITY_CONVERGED.json",
               flush=True)
 
+    if args.seeds:
+        # Regenerate the parity dataset if /tmp was wiped (round-4 lesson:
+        # the fold-equivalence leg crashed twice on a missing
+        # /tmp/parity_ds — every leg must create its own inputs). The
+        # export is deterministic (seeded synthetic), so a regenerated
+        # tree is byte-identical to the original.
+        ensure_dataset({}, args)
     for seed in args.seeds:
         pth, msgpack = export_init(seed)
         for framework in ("ours", "ours_bf16", "ref"):

@@ -60,6 +60,18 @@ CONFIGS = {
                          "task": "multitask", "data_variant": "mt",
                          "export_args": ("--blobs", "3", "8",
                                          "--label-mode", "visual")},
+    # The multitask pos_weight escape hatch (ours-only: the reference's
+    # multitask loss never weights its seg BCE,
+    # /root/reference/model/unet_multitask.py:131): the SAME scaled regime
+    # and data as multitask_bce_mt, plus --pos-weight auto. Measures
+    # whether the opt-in hatch eliminates the 1/6 trivial-attractor
+    # collapse without moving learned-seed IoU (round-4 VERDICT #7). Run
+    # with --only ours; extra_args never reach the reference CLI.
+    "multitask_bce_mt_pw": {"model": "multitask_unet", "loss": "bce",
+                            "task": "multitask", "data_variant": "mt",
+                            "export_args": ("--blobs", "3", "8",
+                                            "--label-mode", "visual"),
+                            "extra_args": ("--pos-weight", "auto")},
 }
 
 # Every metric key any task's test_metrics.json may carry.
@@ -149,6 +161,7 @@ def run_one(framework: str, cfg: dict, seed: int, args) -> dict:
         # reference-parity per-epoch best/last writes would dominate these
         # tiny-dataset epochs; the study only consumes end-of-run artifacts.
         cmd += ["--ckpt-every", "0", "--defer-ckpt"]
+        cmd += list(cfg.get("extra_args", ()))
         if args.ours_platform == "cpu":
             # XLA-CPU fallback (TPU relay down): the host-augment per-batch
             # path compiles fine on CPU, while the resident scan-chunked

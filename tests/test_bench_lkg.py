@@ -75,7 +75,7 @@ def test_ignores_garbage_and_returns_none_when_nothing_usable(tmp_path):
 
 
 def _fake_run_sub(calls):
-    def run(spec):
+    def run(spec, budget=None):
         calls.append(spec)
         if spec.startswith("train:") and ":w" in spec:
             return {"images_per_sec": 82.7, "ms_per_step": 96.75,
@@ -91,12 +91,13 @@ def _fake_run_sub(calls):
     return run
 
 
-def test_supervise_emits_w2_row_with_pct_of_peak(monkeypatch, capsys):
+def test_supervise_emits_w2_row_with_pct_of_peak(monkeypatch, capsys, tmp_path):
     # VERDICT r3 #7: the decoder-width lever must appear in the driver's
     # default BENCH artifact next to the w1 parity row, with %-of-peak.
     calls = []
     monkeypatch.setattr(bench, "_relay_up", lambda *a, **k: True)
     monkeypatch.setattr(bench, "_run_sub", _fake_run_sub(calls))
+    monkeypatch.setenv("BENCH_LAST_FULL_DIR", str(tmp_path))
     bench.supervise()
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "train:8:bce:w2.0" in calls
@@ -106,12 +107,80 @@ def test_supervise_emits_w2_row_with_pct_of_peak(monkeypatch, capsys):
     assert out["pct_of_matmul_peak"] == round(100 * 75.1 / 186.0, 1)
 
 
-def test_supervise_w2_optout(monkeypatch, capsys):
+def test_supervise_w2_optout(monkeypatch, capsys, tmp_path):
     calls = []
     monkeypatch.setattr(bench, "_relay_up", lambda *a, **k: True)
     monkeypatch.setattr(bench, "_run_sub", _fake_run_sub(calls))
     monkeypatch.setenv("BENCH_W2", "0")
+    monkeypatch.setenv("BENCH_LAST_FULL_DIR", str(tmp_path))
     bench.supervise()
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert not any(":w" in c for c in calls if c.startswith("train:"))
     assert "train_decoder_width2" not in out
+
+
+def test_supervise_emits_provisional_then_final_line(monkeypatch, capsys,
+                                                     tmp_path):
+    # Round-5 deadline design: a provisional JSON line lands right after
+    # headline+ceiling, so a driver kill mid-optional-section still leaves
+    # a parseable artifact. The final line must NOT carry the marker.
+    monkeypatch.setattr(bench, "_relay_up", lambda *a, **k: True)
+    monkeypatch.setattr(bench, "_run_sub", _fake_run_sub([]))
+    monkeypatch.setenv("BENCH_LAST_FULL_DIR", str(tmp_path))
+    bench.supervise()
+    lines = [l for l in capsys.readouterr().out.strip().splitlines() if l]
+    assert len(lines) == 2
+    prov, final = json.loads(lines[0]), json.loads(lines[1])
+    assert "provisional" in prov and prov["value"] == 130.4
+    assert prov["pct_of_matmul_peak"] == round(100 * 75.1 / 186.0, 1)
+    assert "provisional" not in final and final["value"] == 130.4
+
+
+def test_supervise_complete_run_refreshes_last_full_snapshot(
+        monkeypatch, capsys, tmp_path):
+    monkeypatch.setattr(bench, "_relay_up", lambda *a, **k: True)
+    monkeypatch.setattr(bench, "_run_sub", _fake_run_sub([]))
+    monkeypatch.setenv("BENCH_LAST_FULL_DIR", str(tmp_path))
+    bench.supervise()
+    capsys.readouterr()
+    snap = json.loads((tmp_path / "BENCH_LAST_FULL.json").read_text())
+    assert snap["result"]["value"] == 130.4
+    assert snap["result"]["train_decoder_width2"]["images_per_sec"] == 82.7
+    assert snap["date"]
+
+
+def test_supervise_deadline_sheds_and_backfills_from_last_full(
+        monkeypatch, capsys, tmp_path):
+    # With an (absurdly) tiny BENCH_DEADLINE every section is shed; the
+    # emitted JSON must say so explicitly and back-fill the optional rows
+    # from the last complete sweep's snapshot, clearly labeled.
+    snap_result = _bench_json(131.6, 60.8)
+    snap_result["train_decoder_width2"] = {"images_per_sec": 82.7}
+    snap_result["matmul_ceiling_tflops"] = 186.0
+    (tmp_path / "BENCH_LAST_FULL.json").write_text(
+        json.dumps({"date": "2026-08-19", "result": snap_result}))
+    monkeypatch.setattr(bench, "_relay_up", lambda *a, **k: True)
+    monkeypatch.setattr(bench, "_run_sub", _fake_run_sub([]))
+    monkeypatch.setenv("BENCH_LAST_FULL_DIR", str(tmp_path))
+    monkeypatch.setenv("BENCH_DEADLINE", "0.001")
+    bench.supervise()
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["value"] is None
+    assert "train:8:bce" in out["sections_skipped_deadline"]
+    fill = out["from_last_full"]
+    assert fill["date"] == "2026-08-19"
+    assert fill["train_decoder_width2"]["images_per_sec"] == 82.7
+    assert fill["matmul_ceiling_tflops"] == 186.0
+
+
+def test_supervise_deadline_fits_everything_no_shed_markers(
+        monkeypatch, capsys, tmp_path):
+    monkeypatch.setattr(bench, "_relay_up", lambda *a, **k: True)
+    monkeypatch.setattr(bench, "_run_sub", _fake_run_sub([]))
+    monkeypatch.setenv("BENCH_LAST_FULL_DIR", str(tmp_path))
+    monkeypatch.setenv("BENCH_DEADLINE", "1080")
+    bench.supervise()
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "sections_skipped_deadline" not in out
+    assert "from_last_full" not in out
+    assert out["train_decoder_width2"]["images_per_sec"] == 82.7

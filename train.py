@@ -184,6 +184,10 @@ def train(args):
     if args.amp is None:
         args.amp = resolve_amp_default(args.model, args.loss, args.task)
         if not args.amp:
+            # Unreachable today: resolve_amp_default returns True for every
+            # config since the matched-init study reverted the round-3 f32
+            # flip (PARITY.md). Kept for any future rule that reintroduces
+            # an f32 default — the message must come back with it.
             print(
                 "[amp] defaulting to f32 for this config "
                 "(see PARITY.md); pass --amp to force bf16"

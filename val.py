@@ -103,7 +103,13 @@ def val(args):
         return chunk(state, data, idx, maskp), len(idx)
 
     if args.task == "multitask":
-        eval_step = steps.make_multitask_eval_step(model, seg_loss_name=args.loss)
+        # --pos-weight passthrough (ADVICE r4): a checkpoint trained with
+        # the multitask pos_weight escape hatch reports its val loss on the
+        # same scale as training. IoU/confusion metrics are unaffected.
+        pos_weight = float(args.pos_weight) if args.pos_weight else None
+        eval_step = steps.make_multitask_eval_step(
+            model, seg_loss_name=args.loss, pos_weight=pos_weight
+        )
         seg_counts = np.zeros(4, np.int64)
         confusion = np.zeros((3, 3), np.int64)
         if use_resident:
@@ -212,6 +218,14 @@ def parse_args(argv=None):
     parser.add_argument("--loss", default="lovasz_hinge",
                         choices=["bce", "lovasz_hinge", "ce", "focal"])
     parser.add_argument("--num-classes", default=4, type=int)
+    parser.add_argument("--pos-weight", default=None,
+                        help="multitask only: the pos_weight the checkpoint "
+                             "was TRAINED with (train.py --pos-weight), so "
+                             "the reported loss is on the training scale. "
+                             "Numeric only — 'auto' is resolved from the "
+                             "train split at training time, so pass the "
+                             "value train.py printed. Metrics other than "
+                             "loss are unaffected")
     parser.add_argument("--input-size", default=512, type=int)
     parser.add_argument("--cache-dir", default=".hf-cache/datasets")
     parser.add_argument("--device", default="tpu", help="Accepted for parity; ignored")
