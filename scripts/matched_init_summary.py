@@ -42,18 +42,45 @@ def main() -> None:
         print(f"{arm:10s} IoU {band([seeds[s]['IoU'] for s in ordered])}"
               f"  (seeds {', '.join(ordered)})")
 
-    ours = arms.get("ours", {})
-    bf16 = arms.get("ours_bf16", {})
-    paired = sorted(set(ours) & set(bf16), key=int)
-    if paired:
-        deltas = [ours[s]["IoU"] - bf16[s]["IoU"] for s in paired]
-        print(f"\npaired (f32 - bf16) IoU deltas, identical init+data:")
+    def paired_delta(a: dict, b: dict, label: str) -> None:
+        """Per-seed (a - b) IoU deltas + mean with a 95% CI on the mean.
+
+        CI uses the t critical value (two-sided, n-1 dof; table for the
+        small n this study runs — no scipy in the image). This is the
+        'stated confidence interval on Δ' the 8-seed widening reports.
+        """
+        paired = sorted(set(a) & set(b), key=int)
+        if not paired:
+            return
+        deltas = [a[s]["IoU"] - b[s]["IoU"] for s in paired]
+        print(f"\npaired {label} IoU deltas, identical init+data:")
         for s, dv in zip(paired, deltas):
             print(f"  seed {s}: {dv:+.4f}"
-                  f"  (f32 {ours[s]['IoU']:.4f}, bf16 {bf16[s]['IoU']:.4f})")
-        print(f"  mean {statistics.mean(deltas):+.4f}"
-              + (f" ± {statistics.stdev(deltas):.4f}" if len(deltas) > 1
-                 else ""))
+                  f"  ({a[s]['IoU']:.4f} vs {b[s]['IoU']:.4f})")
+        n = len(deltas)
+        mean = statistics.mean(deltas)
+        if n > 1:
+            sd = statistics.stdev(deltas)
+            t95 = {2: 12.71, 3: 4.30, 4: 3.18, 5: 2.78, 6: 2.57, 7: 2.45,
+                   8: 2.36, 9: 2.31, 10: 2.26}.get(n, 2.0)
+            half = t95 * sd / n ** 0.5
+            print(f"  mean {mean:+.4f} ± {sd:.4f} (sd);"
+                  f" 95% CI on mean Δ: [{mean - half:+.4f}, {mean + half:+.4f}]"
+                  f" (t, n={n})")
+            if mean - half <= 0 <= mean + half:
+                print("  -> CI contains 0: no resolvable systematic"
+                      " difference at this seed count")
+            else:
+                print("  -> CI excludes 0: systematic difference")
+        else:
+            print(f"  mean {mean:+.4f} (single pair — no CI)")
+
+    ours = arms.get("ours", {})
+    bf16 = arms.get("ours_bf16", {})
+    paired_delta(ours, bf16, "(f32 - bf16)")
+    # The parity question itself: ours at the bf16 default vs the torch
+    # reference, matched init per seed (round-4 VERDICT #4's 8-seed table).
+    paired_delta(bf16, arms.get("ref", {}), "(ours_bf16 - ref)")
 
     ref = arms.get("ref", {})
     rerun = arms.get("ref_rerun", {})

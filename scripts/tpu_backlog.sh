@@ -33,7 +33,10 @@ BENCH_SECTION=probe timeout 300 python bench.py || {
   echo "relay still down; aborting backlog" >&2; exit 1; }
 
 echo "== [1/5] full bench (warms every headline shape; BENCH JSON) =="
-python bench.py | tee /tmp/bench_backlog.json
+# BENCH_FULL=1: no total deadline, and a complete sweep refreshes
+# BENCH_LAST_FULL.json — the snapshot the driver-budgeted bench back-fills
+# deadline-shed sections from.
+BENCH_FULL=1 python bench.py | tee /tmp/bench_backlog.json
 
 gate
 echo "== [2/5] converged f32 parity seeds 1-2 (decides the amp default) =="

@@ -44,6 +44,7 @@ def _trained_state(variant: str):
 
 
 @pytest.mark.parametrize("variant", ["tree", "flat"])
+@pytest.mark.slow
 def test_master_variables_are_f32_masters(variant, tmp_path):
     state = _trained_state(variant)
     # The stored params are the bf16 compute copies...

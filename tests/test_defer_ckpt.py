@@ -14,6 +14,7 @@ import os
 import sys
 
 import numpy as np
+import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -58,6 +59,7 @@ def _assert_payload_equal(a, b):
         np.testing.assert_array_equal(x, y)
 
 
+@pytest.mark.slow
 def test_defer_ckpt_bit_identical(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     exp_eager = train(parse_args(BASE_ARGS))

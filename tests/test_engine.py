@@ -46,6 +46,7 @@ def small_setup(_model_tx):
 
 
 class TestBinarySteps:
+    @pytest.mark.slow
     def test_loss_decreases(self, small_setup):
         model, tx, state = small_setup
         train_step = steps.make_binary_train_step(model, tx, "bce")
@@ -136,6 +137,7 @@ class TestMulticlassSteps:
         pngs = np.digitize(m, [0.4, 0.6]).astype(np.int32)
         return images, pngs, np.ones(b, np.float32)
 
+    @pytest.mark.slow
     def test_loss_decreases(self):
         model = build_model("unet_plain", num_classes=self.NUM_CLASSES)
         tx = schedules.make_optimizer(1e-3)
@@ -204,6 +206,7 @@ class TestMulticlassSteps:
 
 
 class TestShardedTrainStep:
+    @pytest.mark.slow
     def test_data_parallel_train_step_matches_single(self, _model_tx):
         """One sharded train step == the single-device step on the same batch.
 
@@ -281,6 +284,7 @@ class TestMultihostGlue:
 
 
 class TestMultitaskSteps:
+    @pytest.mark.slow
     def test_step_and_confusion(self):
         model = build_model(
             "multitask_unet", num_classes=1, num_seg_classes=1, num_cls_classes=3
@@ -311,6 +315,7 @@ class TestMultitaskSteps:
 
 
 class TestCheckpoint:
+    @pytest.mark.slow
     def test_full_state_roundtrip(self, small_setup, tmp_path):
         model, tx, state = small_setup
         train_step = steps.make_binary_train_step(model, tx, "bce")

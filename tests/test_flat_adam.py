@@ -42,6 +42,7 @@ def small_params():
 
 class TestFlatAdamEquivalence:
     @pytest.mark.parametrize("cls", [FlatAdam, TreeAdam])
+    @pytest.mark.slow
     def test_matches_optax_chain_over_10_steps(self, small_params, cls):
         lr, wd = 1e-3, 1e-4
         tx = schedules.make_optimizer(lr, momentum=0.9, weight_decay=wd)

@@ -84,7 +84,9 @@ class TestModels:
         [
             ("unet_plain", 2),
             ("attention_unet", 2),
-            ("dualdense_unet", 2),
+            # dualdense compiles ~49s on XLA-CPU (dense-block concat chains):
+            # slow-tier only; the other families keep inner-loop coverage.
+            pytest.param("dualdense_unet", 2, marks=pytest.mark.slow),
             ("unet_resnet50", 2),
         ],
     )

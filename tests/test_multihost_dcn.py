@@ -29,6 +29,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+@pytest.mark.slow
 def test_two_process_matches_single_process(tmp_path):
     port = _free_port()
     outs = [str(tmp_path / f"rank{r}.json") for r in range(2)]

@@ -53,6 +53,7 @@ def _assert_tree_equal(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.slow
 def test_resume_matches_uninterrupted(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
 
