@@ -61,6 +61,13 @@ def test_run_sh_binary_stage1(tmp_path):
     _run(tmp_path, ["--task", "binary", "--max-stage", "1"])
     cfgs = _exp_configs(tmp_path)
     assert sorted(c["loss"] for c in cfgs) == ["bce", "lovasz_hinge"]
+    # Binary BCE resolves pos_weight 'auto' from the train split; the
+    # RESOLVED value must be recorded in config.json (round-5: it's what
+    # val.py --pos-weight needs to reproduce the training loss scale).
+    bce = next(c for c in cfgs if c["loss"] == "bce")
+    assert bce["resolved_pos_weight"] > 0
+    lov = next(c for c in cfgs if c["loss"] == "lovasz_hinge")
+    assert "resolved_pos_weight" not in lov  # pos_weight is BCE-only
 
 
 @pytest.mark.slow

@@ -301,6 +301,15 @@ def train(args):
             pos_weight = estimate_pos_weight(train_dataset, args.pos_weight_samples)
         else:
             pos_weight = float(pw_flag)
+    if pos_weight is not None:
+        # Rewrite config.json with the RESOLVED value ('auto' is data-
+        # dependent): it's what val.py --pos-weight needs to report the
+        # loss on the training scale. Additive key — the reference's
+        # config.json consumers (make_tables filters) ignore it.
+        with open(os.path.join(exp_folder, "config.json"), "w",
+                  encoding="utf-8") as f:
+            json.dump({**vars(args), "resolved_pos_weight": pos_weight},
+                      f, ensure_ascii=False, indent=2)
 
     max_train_batches = args.max_train_batches or None
     max_val_batches = args.max_val_batches or None

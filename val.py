@@ -222,10 +222,11 @@ def parse_args(argv=None):
                         help="multitask only: the pos_weight the checkpoint "
                              "was TRAINED with (train.py --pos-weight), so "
                              "the reported loss is on the training scale. "
-                             "Numeric only — 'auto' is resolved from the "
-                             "train split at training time, so pass the "
-                             "value train.py printed. Metrics other than "
-                             "loss are unaffected")
+                             "Numeric only — 'auto' is data-dependent, so "
+                             "pass the run's resolved value (config.json "
+                             "'resolved_pos_weight', also printed by "
+                             "train.py). Metrics other than loss are "
+                             "unaffected")
     parser.add_argument("--input-size", default=512, type=int)
     parser.add_argument("--cache-dir", default=".hf-cache/datasets")
     parser.add_argument("--device", default="tpu", help="Accepted for parity; ignored")
