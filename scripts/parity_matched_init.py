@@ -110,7 +110,20 @@ def run_leg(framework: str, seed: int, weights: str, args) -> dict:
     print(f"[matched-init {framework}] seed={seed} weights={weights}",
           flush=True)
     before = exp_dirs(cwd)
-    res = subprocess.run(cmd, cwd=cwd, env=env, capture_output=True, text=True)
+    if framework == "ref" and getattr(args, "gate", False):
+        # Ref legs are multi-hour host-CPU torch runs that cannot yield
+        # between legs; run them SIGSTOP-gated so a driver check firing
+        # mid-leg gets the one core to itself (driver_gate.run_gated —
+        # CPU-only children; ours legs are TPU-relay clients and must
+        # never be suspended).
+        sys.path.insert(0, REPO)
+        from unet_embroidery_seg_tpu.utils.driver_gate import run_gated
+
+        res = run_gated(cmd, cwd=cwd, env=env)
+    else:
+        res = subprocess.run(
+            cmd, cwd=cwd, env=env, capture_output=True, text=True
+        )
     if res.returncode != 0:
         print(res.stdout[-3000:], res.stderr[-3000:], sep="\n", flush=True)
         raise RuntimeError(f"matched-init {framework} seed={seed} failed")

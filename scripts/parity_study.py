@@ -176,7 +176,17 @@ def run_one(framework: str, cfg: dict, seed: int, args) -> dict:
         env["JAX_PLATFORMS"] = "cpu"
     print(f"[{framework}] {cfg['model']}+{cfg['loss']} seed={seed}", flush=True)
     before = exp_dirs(cwd)
-    res = subprocess.run(cmd, cwd=cwd, env=env, capture_output=True, text=True)
+    if framework == "ref" and getattr(args, "gate", False):
+        # Long host-CPU torch legs are SIGSTOP-gated so a driver check
+        # firing mid-leg gets the core (driver_gate.run_gated; never for
+        # TPU-relay children — suspension starves their heartbeats).
+        from unet_embroidery_seg_tpu.utils.driver_gate import run_gated
+
+        res = run_gated(cmd, cwd=cwd, env=env)
+    else:
+        res = subprocess.run(
+            cmd, cwd=cwd, env=env, capture_output=True, text=True
+        )
     if res.returncode != 0:
         print(res.stdout[-3000:], res.stderr[-3000:], sep="\n", flush=True)
         raise RuntimeError(f"{framework} run failed (rc={res.returncode})")

@@ -72,3 +72,74 @@ def test_garbage_sentinel_ignored(sentinel):
 
 def test_wait_until_idle_returns_when_free(sentinel):
     driver_gate.wait_until_idle(poll_sec=0.01, verbose=False)  # no holder
+
+
+def test_run_gated_suspends_and_resumes(sentinel, tmp_path):
+    # A long host-CPU leg already in flight when the driver claims the
+    # sentinel must be SIGSTOPped until the claim is released (round-5:
+    # wait_until_idle only gates BETWEEN legs; a 1.7-h torch leg would
+    # otherwise share the core with the driver check to the end).
+    import subprocess
+    import sys
+    import threading
+    import time
+
+    if os.getppid() == 1:
+        pytest.skip("running under init; foreign-pid case not constructible")
+
+    pidfile = tmp_path / "child.pid"
+    flag = tmp_path / "stop"
+    child_src = (
+        "import os, sys, time\n"
+        f"open({str(pidfile)!r}, 'w').write(str(os.getpid()))\n"
+        f"while not os.path.exists({str(flag)!r}):\n"
+        "    time.sleep(0.02)\n"
+        "print('child-done')\n"
+    )
+    result: dict = {}
+
+    def target():
+        result["res"] = driver_gate.run_gated(
+            [sys.executable, "-c", child_src], poll_sec=0.05
+        )
+
+    t = threading.Thread(target=target)
+    t.start()
+    try:
+        deadline = time.time() + 10
+        while not pidfile.exists() and time.time() < deadline:
+            time.sleep(0.02)
+        pid = int(pidfile.read_text())
+
+        def state() -> str:
+            with open(f"/proc/{pid}/stat") as f:
+                return f.read().rsplit(")", 1)[1].split()[0]
+
+        with open(sentinel, "w") as f:
+            f.write("1")  # init: alive, not us, not our parent
+        deadline = time.time() + 5
+        while state() != "T" and time.time() < deadline:
+            time.sleep(0.02)
+        assert state() == "T"  # suspended while the driver is busy
+
+        os.unlink(sentinel)
+        deadline = time.time() + 5
+        while state() == "T" and time.time() < deadline:
+            time.sleep(0.02)
+        assert state() != "T"  # resumed once the claim was released
+    finally:
+        flag.write_text("go")
+        t.join(timeout=15)
+    assert not t.is_alive()
+    assert result["res"].returncode == 0
+    assert "child-done" in result["res"].stdout
+
+
+def test_run_gated_plain_completion(sentinel):
+    import sys
+
+    res = driver_gate.run_gated(
+        [sys.executable, "-c", "print('ok-gated')"], poll_sec=0.05
+    )
+    assert res.returncode == 0
+    assert "ok-gated" in res.stdout

@@ -108,6 +108,78 @@ def wait_until_idle(
         print(f"[driver_gate] idle after {waited:.0f}s wait", flush=True)
 
 
+def run_gated(
+    cmd: list[str],
+    poll_sec: float = 10.0,
+    stale_sec: float = 7200.0,
+    cwd: str | None = None,
+    env: dict | None = None,
+):
+    """``subprocess.run``-alike that SIGSTOPs the child while a driver
+    check holds the sentinel.
+
+    ``wait_until_idle`` only yields BETWEEN chain legs; a multi-hour torch
+    leg that is already in flight when the driver's end-of-round check
+    fires would otherwise share the one core with it for the rest of the
+    leg (measured ~2× slowdown on the round-5 dryrun probe). Suspending
+    the child is safe ONLY for host-CPU work (torch reference legs):
+    never use this for TPU-relay clients, whose heartbeats starve under
+    suspension (ROADMAP.md "Known environment traps").
+
+    Output is spooled to temp files (not pipes) so the child can never
+    block on a full pipe while suspended. Returns a CompletedProcess with
+    captured text stdout/stderr.
+    """
+    import signal
+    import subprocess
+    import tempfile
+
+    with tempfile.TemporaryFile(mode="w+") as out, tempfile.TemporaryFile(
+        mode="w+"
+    ) as err:
+        proc = subprocess.Popen(
+            cmd, cwd=cwd, env=env, stdout=out, stderr=err, text=True
+        )
+        stopped = False
+        try:
+            while True:
+                try:
+                    rc = proc.wait(timeout=poll_sec)
+                    break
+                except subprocess.TimeoutExpired:
+                    pass
+                if busy(stale_sec):
+                    if not stopped:
+                        print(
+                            "[driver_gate] driver check in progress; "
+                            f"suspending pid {proc.pid}",
+                            flush=True,
+                        )
+                        proc.send_signal(signal.SIGSTOP)
+                        stopped = True
+                elif stopped:
+                    print(
+                        f"[driver_gate] idle; resuming pid {proc.pid}",
+                        flush=True,
+                    )
+                    proc.send_signal(signal.SIGCONT)
+                    stopped = False
+        finally:
+            # Never leave a SIGSTOPped orphan (the "remember to SIGCONT"
+            # trap): resume before any abnormal exit, then reap.
+            if stopped:
+                try:
+                    proc.send_signal(signal.SIGCONT)
+                except ProcessLookupError:
+                    pass
+            if proc.poll() is None and sys.exc_info()[0] is not None:
+                proc.kill()
+                proc.wait()
+        out.seek(0)
+        err.seek(0)
+        return subprocess.CompletedProcess(cmd, rc, out.read(), err.read())
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "wait"
     if cmd == "wait":
