@@ -46,10 +46,13 @@ headline + ceiling run first, a provisional JSON line is emitted as soon as
 they land, optional sections are shed loudly when the budget runs out, and
 shed rows are back-filled (clearly labeled) from BENCH_LAST_FULL.json — the
 snapshot refreshed by any complete sweep (``BENCH_FULL=1`` disables the
-deadline and is what scripts/tpu_backlog.sh uses). Env knobs: BENCH_SIZE,
+deadline and is what scripts/tpu_backlog.sh uses). Sections and relay
+probes only see deadline − BENCH_DEADLINE_RESERVE (default 120 s), so the
+final JSON emit always happens INSIDE the deadline — a hung relay can no
+longer push a verdict probe past the driver's axe. Env knobs: BENCH_SIZE,
 BENCH_STEPS, BENCH_BATCHES, BENCH_PREDICT=0 / BENCH_LOVASZ=0 / BENCH_W2=0
 to skip sections, BENCH_RETRIES, BENCH_SECTION_TIMEOUT, BENCH_PROBE_TIMEOUT,
-BENCH_DEADLINE, BENCH_FULL.
+BENCH_DEADLINE, BENCH_DEADLINE_RESERVE, BENCH_FULL.
 """
 
 from __future__ import annotations
@@ -300,18 +303,35 @@ class RelayDown(RuntimeError):
     """The TPU relay is unreachable (even a 128^2 matmul probe hangs)."""
 
 
-def _relay_up(attempts: int = 2) -> bool:
+def _relay_up(attempts: int = 2, budget: float | None = None) -> bool:
     """Fast reachability verdict so a hung relay (observed 2026-08-17: even
     ``jax.devices()`` blocks for hours) costs minutes, not
-    retries*timeout*sections hours of dead subprocess timeouts."""
+    retries*timeout*sections hours of dead subprocess timeouts.
+
+    ``budget`` (seconds, from supervise()'s deadline reserve) caps the
+    TOTAL probe time: a probe that cannot finish inside it is skipped and
+    the relay is reported down — emitting the partial JSON line beats
+    hanging in a probe past the driver's axe (the round-5 rehearsal caught
+    exactly that: section timeout at the full deadline, then a 240 s
+    verdict probe pushed past the outer kill → rc=124, no output)."""
     timeout = float(os.environ.get("BENCH_PROBE_TIMEOUT", "240"))
     env = dict(os.environ, BENCH_SECTION="probe")
+    t0 = time.monotonic()
     for attempt in range(1, attempts + 1):
-        _progress(f"relay probe (attempt {attempt}/{attempts})")
+        probe_timeout = timeout
+        if budget is not None:
+            left = budget - (time.monotonic() - t0)
+            if left < 25:
+                _progress("probe: no budget left; assuming relay down")
+                return False
+            probe_timeout = min(timeout, left - 5)
+        _progress(f"relay probe (attempt {attempt}/{attempts}, "
+                  f"timeout {probe_timeout:.0f}s)")
         try:
             res = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
-                env=env, capture_output=True, text=True, timeout=timeout,
+                env=env, capture_output=True, text=True,
+                timeout=probe_timeout,
                 start_new_session=True,
             )
             if res.returncode == 0:
@@ -319,7 +339,7 @@ def _relay_up(attempts: int = 2) -> bool:
             _progress(f"probe rc={res.returncode} "
                       f"stderr_tail={res.stderr.strip()[-200:]!r}")
         except subprocess.TimeoutExpired:
-            _progress(f"probe: timeout after {timeout}s")
+            _progress(f"probe: timeout after {probe_timeout}s")
     return False
 
 
@@ -358,8 +378,16 @@ def _run_sub(spec: str, budget: float | None = None) -> dict | None:
             _progress(f"section {spec}: timeout after {attempt_timeout}s")
             # Distinguish "this compile was slow/flaky" (retry is useful)
             # from "the relay is gone" (every further attempt would burn the
-            # full timeout for nothing — bail out across sections).
-            if not _relay_up(attempts=1):
+            # full timeout for nothing — bail out across sections). The
+            # verdict probe must fit the remaining budget: past it, report
+            # down without probing so the JSON line still gets emitted. A
+            # 60 s floor (carved from supervise()'s deadline reserve) keeps
+            # the verdict honest when a section ate its whole budget but
+            # the relay answers promptly.
+            probe_budget = None
+            if budget is not None:
+                probe_budget = max(60.0, budget - (time.monotonic() - t_begin))
+            if not _relay_up(attempts=1, budget=probe_budget):
                 raise RelayDown(spec)
             continue
         lines = [l for l in res.stdout.strip().splitlines() if l.strip()]
@@ -470,8 +498,18 @@ def supervise() -> None:
     skipped: list[str] = []
     failed: list[str] = []
 
+    # Finalization reserve: sections (and their verdict probes) only see
+    # deadline − reserve, so the last section's timeout + a 60 s verdict
+    # probe + the JSON emit all land INSIDE the deadline. Without it the
+    # round-5 rehearsal overshot: headline timed out at the full 1080 s,
+    # then the 240 s relay-verdict probe ran past the outer kill → rc=124
+    # with no output (the exact BENCH_r04 failure mode this bounds).
+    reserve = float(os.environ.get("BENCH_DEADLINE_RESERVE", "120"))
+
     def remaining() -> float | None:
-        return None if not deadline else deadline - (time.monotonic() - t_start)
+        if not deadline:
+            return None
+        return (deadline - reserve) - (time.monotonic() - t_start)
 
     def run(spec: str) -> dict | None:
         rem = remaining()
@@ -547,7 +585,7 @@ def supervise() -> None:
         return out
 
     try:
-        if not _relay_up():
+        if not _relay_up(budget=remaining()):
             raise RelayDown("initial probe")
         # Headline + ceiling first: together they are the whole quality bar
         # (img/s + % of the live-measured matmul peak) and must land even

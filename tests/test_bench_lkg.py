@@ -74,6 +74,58 @@ def test_ignores_garbage_and_returns_none_when_nothing_usable(tmp_path):
     assert bench._last_known_good(str(empty)) is None
 
 
+def test_relay_up_skips_probe_when_budget_exhausted(monkeypatch):
+    # Round-5 rehearsal post-mortem: a section timeout at the full deadline
+    # followed by a 240 s verdict probe overshot the driver's axe (rc=124,
+    # no output). With no budget left the probe must be SKIPPED, not run.
+    def boom(*a, **k):
+        raise AssertionError("probe subprocess must not be spawned")
+
+    monkeypatch.setattr(bench.subprocess, "run", boom)
+    assert bench._relay_up(attempts=2, budget=10.0) is False
+
+
+def test_relay_up_clamps_probe_timeout_to_budget(monkeypatch):
+    seen = []
+
+    def fake_run(cmd, **kw):
+        seen.append(kw["timeout"])
+        raise bench.subprocess.TimeoutExpired(cmd, kw["timeout"])
+
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    monkeypatch.setenv("BENCH_PROBE_TIMEOUT", "240")
+    assert bench._relay_up(attempts=1, budget=90.0) is False
+    assert len(seen) == 1 and seen[0] <= 85.0  # 90 − 5 s margin, < 240
+    # No budget → the full BENCH_PROBE_TIMEOUT applies.
+    seen.clear()
+    assert bench._relay_up(attempts=1, budget=None) is False
+    assert seen == [240.0]
+
+
+def test_supervise_relay_down_midrun_still_emits(monkeypatch, capsys,
+                                                 tmp_path):
+    # A RelayDown raised from any section (the timeout-verdict path) must
+    # still produce the final JSON line, honestly flagged, with
+    # last-known-good numbers attached when a prior round has them.
+    _write(tmp_path, "BENCH_r02.json", _bench_json(131.6, 60.8))
+
+    def dead_run_sub(spec, budget=None):
+        raise bench.RelayDown(spec)
+
+    monkeypatch.setattr(bench, "_relay_up", lambda *a, **k: True)
+    monkeypatch.setattr(bench, "_run_sub", dead_run_sub)
+    real_lkg = bench._last_known_good
+    monkeypatch.setattr(
+        bench, "_last_known_good", lambda *a: real_lkg(str(tmp_path))
+    )
+    monkeypatch.setenv("BENCH_LAST_FULL_DIR", str(tmp_path))
+    bench.supervise()
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["value"] is None
+    assert "unreachable" in out["error"]
+    assert out["last_known_good"]["value"] == 131.6
+
+
 def _fake_run_sub(calls):
     def run(spec, budget=None):
         calls.append(spec)
